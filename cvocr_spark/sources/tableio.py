@@ -1,0 +1,166 @@
+"""TableIO seam: partitioned parquet + per-partition lineage manifests +
+exact resume (SURVEY §7 step 6; FIXTURES.md §4 manifest schema).
+
+The reference's only durable IR is the per-line region.txt sink
+(/root/reference/cut.h:872-893) re-read by reco.py:194-216 — a manual
+checkpoint between its two process halves.  The graft makes that
+checkpoint a first-class lineage table:
+
+  * the corpus is split into ``n_buckets`` deterministic url-hash
+    buckets (``pmod(xxhash64(url), n)``) — the lineage/commit unit;
+  * output is written ``partitionBy('bucket')`` with DYNAMIC partition
+    overwrite, so a re-run of an uncommitted bucket replaces any partial
+    files instead of duplicating them;
+  * after a successful write, one manifest row per bucket is appended:
+    (run_id, bucket, input_fingerprint, n_docs, n_bytes, wall_us,
+    status) — the fingerprint is an order-independent bit_xor of
+    xxhash64(url), cheap at any scale (no sort, no collect);
+  * resume = anti-join pending buckets against committed manifest rows
+    and process only those.
+
+On a real cluster the same seam maps onto Iceberg: ``writeTo(tbl)
+.overwritePartitions()`` + a manifest table; the sandbox pyspark has no
+Iceberg jars (SURVEY preamble), so the parquet impl is the tested one
+and the Iceberg impl is a thin config switch (`fmt='iceberg'`).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernel import DEFAULT_CONFIG, KernelConfig
+from ..plans.job import extract_pages
+
+MANIFEST_DDL = (
+    "run_id string, bucket int, input_fingerprint bigint, "
+    "n_docs bigint, n_bytes bigint, wall_us bigint, status string"
+)
+
+
+class ParquetTableIO:
+    """Thin table abstraction: parquet dirs in the sandbox, Iceberg
+    identifiers on a real cluster (same call sites)."""
+
+    def __init__(self, spark: SparkSession, fmt: str = "parquet"):
+        self.spark = spark
+        self.fmt = fmt
+
+    def read(self, path: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.format("iceberg").load(path)
+        return self.spark.read.parquet(path)
+
+    def exists(self, path: str) -> bool:
+        if self.fmt == "iceberg":
+            return self.spark.catalog.tableExists(path)
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") or f.startswith("bucket=") or f == "_SUCCESS"
+            for f in os.listdir(path)
+        )
+
+    def write_partitioned(self, df: DataFrame, path: str, partition_col: str) -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(path).overwritePartitions()
+            return
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    def append(self, df: DataFrame, path: str) -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(path).append()
+            return
+        df.write.mode("append").parquet(path)
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    # deterministic lineage unit: stable across runs and partition counts
+    return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+
+
+def committed_buckets(io: ParquetTableIO, manifest_dir: str) -> set[int]:
+    if not io.exists(manifest_dir):
+        return set()
+    rows = (
+        io.read(manifest_dir)
+        .filter(F.col("status") == "committed")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r["bucket"] for r in rows}
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    manifest_dir: str | None = None,
+    n_buckets: int = 64,
+    run_id: str | None = None,
+    max_buckets: int | None = None,
+    cfg: KernelConfig = DEFAULT_CONFIG,
+    io: ParquetTableIO | None = None,
+) -> dict:
+    """One (possibly resumed) extraction run.  Returns run stats.
+
+    ``max_buckets`` processes only the first k pending buckets — the
+    test hook that simulates a run killed partway (SURVEY §5 item 6).
+    """
+    io = io or ParquetTableIO(spark)
+    manifest_dir = manifest_dir or out_dir.rstrip("/") + "_manifest"
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    done = committed_buckets(io, manifest_dir)
+    pending = _with_bucket(pages, n_buckets).filter(~F.col("bucket").isin(list(done)) if done else F.lit(True))
+
+    todo: list[int] | None = None
+    if max_buckets is not None:
+        all_pending = sorted(
+            r["bucket"] for r in pending.select("bucket").distinct().collect()
+        )
+        todo = all_pending[:max_buckets]
+        pending = pending.filter(F.col("bucket").isin(todo))
+
+    extracted = extract_pages(pending, cfg=cfg)
+    extracted = _with_bucket(extracted, n_buckets)  # recompute: deterministic fn of url
+    io.write_partitioned(extracted, out_dir, "bucket")
+
+    # manifest derived from the WRITTEN data (not the in-flight plan), so a
+    # bucket is committed iff its files are durably on disk
+    written = io.read(out_dir)
+    if todo is not None:
+        written = written.filter(F.col("bucket").isin(todo))
+    elif done:
+        written = written.filter(~F.col("bucket").isin(list(done)))
+    manifest = written.groupBy("bucket").agg(
+        F.expr("bit_xor(xxhash64(url))").alias("input_fingerprint"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("n_bytes"),
+        F.sum("proc_us").alias("wall_us"),
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.col("bucket").cast("int"),
+        "input_fingerprint",
+        "n_docs",
+        "n_bytes",
+        "wall_us",
+        F.lit("committed").alias("status"),
+    )
+    io.append(manifest, manifest_dir)
+
+    n_new = manifest.count()
+    return {
+        "run_id": run_id,
+        "buckets_committed_before": len(done),
+        "buckets_committed_now": n_new,
+        "out_dir": out_dir,
+        "manifest_dir": manifest_dir,
+    }
