@@ -1,0 +1,175 @@
+"""Portable expression builders: the same deterministic computation as a
+Spark SQL expression string AND a DuckDB SQL expression string.
+
+The driver's correctness gate (CORRECTNESS_r{N}.json) compares Spark
+results against DuckDB oracles by value-hash, so every cross-engine
+function here must be EXACTLY reproducible in both dialects — the
+reason everything hash-like is built on md5 hex (identical in both)
+parsed into a 60-bit integer, never on engine-native hash functions
+(Spark xxhash64 and DuckDB hash() disagree).
+
+Why 15 hex digits: 60 bits < 63, so the parse can never overflow a
+signed bigint under Spark's ANSI mode (default-on in Spark 4).
+"""
+
+from __future__ import annotations
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def hash60_spark(s: str, salt: str | None = None) -> str:
+    """Spark SQL: 60-bit integer from md5 of expression `s`."""
+    inner = f"concat('{salt}:', {s})" if salt is not None else s
+    return f"cast(conv(substr(md5({inner}), 1, 15), 16, 10) as bigint)"
+
+
+def hash60_duck(s: str, salt: str | None = None) -> str:
+    """DuckDB SQL: same 60-bit integer (hex literal cast)."""
+    inner = f"concat('{salt}:', {s})" if salt is not None else s
+    return f"cast('0x' || substr(md5({inner}), 1, 15) as bigint)"
+
+
+# -- tokenization ------------------------------------------------------------
+
+def words_spark(col: str = "text") -> str:
+    return f"split({col}, ' ')"
+
+
+def words_duck(col: str = "text") -> str:
+    return f"string_split({col}, ' ')"
+
+
+# -- 3-word shingles (document fingerprinting / minhash base) ---------------
+# Spark arrays are 0-based via element_at(1-based); DuckDB lists are 1-based.
+# Both guard size<3 (ANSI sequence() with negative bounds would throw).
+
+def shingles_spark(words: str) -> str:
+    return (
+        f"case when size({words}) >= 3 then "
+        f"transform(sequence(1, size({words}) - 2), "
+        f"i -> concat_ws(' ', element_at({words}, i), "
+        f"element_at({words}, i + 1), element_at({words}, i + 2))) "
+        f"else array(concat_ws(' ', {words})) end"
+    )
+
+
+def shingles_duck(words: str) -> str:
+    return (
+        f"case when length({words}) >= 3 then "
+        f"list_transform(range(1, length({words}) - 1), "
+        f"i -> concat({words}[i], ' ', {words}[i + 1], ' ', {words}[i + 2])) "
+        f"else [array_to_string({words}, ' ')] end"
+    )
+
+
+# -- simhash (SURVEY §2 dedup extension; 16-bit for oracle tractability) ----
+
+SIMHASH_BITS = 16
+
+
+def simhash_spark(words: str) -> str:
+    h = hash60_spark("w")
+    terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"aggregate({words}, 0L, (acc, w) -> acc + "
+            f"(case when (shiftright({h}, {b}) & 1) = 1 then 1 else -1 end))"
+        )
+        terms.append(f"(case when {vote} > 0 then {1 << b}L else 0L end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_duck(words: str) -> str:
+    h = hash60_duck("w")
+    terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({words}, w -> "
+            f"case when (({h} >> {b}) & 1) = 1 then 1 else -1 end))"
+        )
+        terms.append(f"(case when {vote} > 0 then {1 << b}::bigint else 0::bigint end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# -- minhash signature component (k salted 60-bit hash functions) -----------
+
+def minhash_spark(shingles: str, k: int) -> list[str]:
+    return [
+        f"array_min(transform({shingles}, s -> {hash60_spark('s', str(j))}))"
+        for j in range(k)
+    ]
+
+
+def minhash_duck(shingles: str, k: int) -> list[str]:
+    return [
+        f"list_min(list_transform({shingles}, s -> {hash60_duck('s', str(j))}))"
+        for j in range(k)
+    ]
+
+
+# -- cosine similarity over array<float> embeddings --------------------------
+# Left-to-right folds in both engines over doubles => bit-identical sums.
+
+def dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_spark(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, cast(0 as double), "
+        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+
+
+def cosine_spark(a: str, b: str) -> str:
+    return f"({dot_spark(a, b)} / nullif({norm_spark(a)} * {norm_spark(b)}, 0.0d))"
+
+
+def dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(cast(0 as double), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> cast({a}[i] as double) * cast({b}[i] as double))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def norm_duck(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(cast(0 as double), "
+        f"list_transform({a}, x -> cast(x as double) * cast(x as double))), "
+        f"(acc, v) -> acc + v))"
+    )
+
+
+def cosine_duck(a: str, b: str) -> str:
+    return f"({dot_duck(a, b)} / nullif({norm_duck(a)} * {norm_duck(b)}, 0.0))"
+
+
+# -- seeded LSH hyperplanes (similarity-search scale path) -------------------
+# Plane coefficients derive from md5 in PYTHON once (hashlib == SQL md5),
+# then are embedded as exact float literals in both dialects.
+
+def lsh_planes(n_planes: int, dim: int, seed: str = "lshplane") -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            v = int(h[:8], 16) % 2001  # 0..2000
+            row.append(round(v / 1000.0 - 1.0, 3))  # [-1, 1], exact 3-dp literal
+        planes.append(row)
+    return planes
+
+
+def plane_literal_spark(row: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({v!r} as double)" for v in row) + ")"
+
+
+def plane_literal_duck(row: list[float]) -> str:
+    return "[" + ", ".join(f"cast({v!r} as double)" for v in row) + "]"

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>) — the
+training-data-pipeline ANN extensions.
+
+Two paths, per the task brief:
+
+  * brute-force cosine top-k — the correctness baseline.  The query
+    side is tiny and broadcast; the corpus side streams.  Cost is
+    O(|Q| * |corpus|) FLOPs but ZERO shuffle of the corpus: at 100 TB
+    the corpus scan is the only pass, and the top-k per query is a
+    partial-aggregable window over a (small) broadcast join output.
+  * LSH-bucketed ANN — the scale path: sign-random-projection buckets
+    (seeded hyperplanes, exact literals in both engines) turn the cross
+    product into an equi-join on bucket id; only same-bucket pairs are
+    scored.  Recall < 1 by construction; the bench compares both.
+
+Everything folds left-to-right in doubles (functions/portable.py), so
+DuckDB oracles match bit-for-bit after round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+N_PLANES = 4
+DIM = 64
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: queries = vec_id < n_queries."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        c.join(F.broadcast(q))  # corpus never shuffles; queries broadcast
+        .withColumn("sim", F.round(F.expr(P.cosine_spark("qe", "ce")), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def cosine_topk_sql(n_queries: int = 5, k: int = 5) -> str:
+    cos = P.cosine_duck("q.embedding", "c.embedding")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({cos}, 6) AS sim
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {n_queries}
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             cast(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) as int) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= {k}
+    """
+
+
+def cosine_neardup_pairs(emb: DataFrame, limit_id: int = 100, threshold: float = 0.995) -> DataFrame:
+    """Embedding-cosine near-dup pairs among vec_id < limit_id, with
+    injected exact copies (vec_id + 100000) so the fixture is non-empty."""
+    base = emb.filter(F.col("vec_id") < limit_id)
+    dups = base.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = base.unionByName(dups)
+    a = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(F.expr(P.cosine_spark("ea", "eb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
+def cosine_neardup_pairs_sql(limit_id: int = 100, threshold: float = 0.995) -> str:
+    cos = P.cosine_duck("x.ea", "y.eb")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {limit_id}
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id < {limit_id} AND vec_id % 20 = 0
+    ),
+    x AS (SELECT vec_id AS a, embedding AS ea FROM corpus),
+    y AS (SELECT vec_id AS b, embedding AS eb FROM corpus)
+    SELECT a, b, round({cos}, 6) AS sim
+    FROM x JOIN y ON a < b
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+def _bucket_expr_spark() -> str:
+    planes = P.lsh_planes(N_PLANES, DIM)
+    bits = []
+    for p, row in enumerate(planes):
+        dot = P.dot_spark("embedding", P.plane_literal_spark(row))
+        bits.append(f"(case when {dot} > 0.0d then {1 << p} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _bucket_expr_duck(tbl: str) -> str:
+    planes = P.lsh_planes(N_PLANES, DIM)
+    bits = []
+    for p, row in enumerate(planes):
+        dot = P.dot_duck(f"{tbl}.embedding", P.plane_literal_duck(row))
+        bits.append(f"(case when {dot} > 0.0 then {1 << p} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_ann_topk(emb: DataFrame, n_queries: int = 5, k: int = 3) -> DataFrame:
+    """Scale-path ANN: score only same-bucket pairs (16 buckets here).
+    At 10^12 rows the bucket id becomes the partition key: the corpus
+    is written bucketed, and each query touches one bucket."""
+    bucketed = emb.withColumn("bkt", F.expr(_bucket_expr_spark()))
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bkt"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bkt"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bkt")
+        .withColumn("sim", F.round(F.expr(P.cosine_spark("qe", "ce")), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def lsh_ann_topk_sql(n_queries: int = 5, k: int = 3) -> str:
+    cos = P.cosine_duck("q.qe", "c.ce")
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_expr_duck('embeddings')} AS bkt
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bkt FROM bucketed
+          WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bkt FROM bucketed),
+    scored AS (
+      SELECT query_id, neighbor_id, round({cos}, 6) AS sim
+      FROM c JOIN q USING (bkt)
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             cast(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) as int) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= {k}
+    """

@@ -1,0 +1,148 @@
+"""Text-analysis operators over the documents table — the
+training-data-pipeline extensions: token counting, quality scoring,
+language-ID heuristic, document fingerprinting (SURVEY §2c F5 scalar
+functions, grown into first-class column ops).
+
+All pure column expressions (JVM-side, whole-stage codegen — no Python
+in the hot path), each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+_STOP_SPARK = "array(" + ", ".join(f"'{w}'" for w in P.STOPWORDS) + ")"
+_STOP_DUCK = "[" + ", ".join(f"'{w}'" for w in P.STOPWORDS) + "]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, distinct types, mean token
+    length — integer arithmetic, one double division at the end."""
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_types"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 4
+        ).alias("mean_tok_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       cast(length(string_split(text, ' ')) as int) AS n_tokens,
+       cast(length(list_distinct(string_split(text, ' '))) as int) AS n_types,
+       round(cast(length(text) - length(string_split(text, ' ')) + 1 as double)
+             / length(string_split(text, ' ')), 4) AS mean_tok_len
+FROM documents
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length + stopword + type/token ratios composed
+    into one deterministic score (the graft of the reference's patch
+    shape-quality predicate, cut.h:324-356)."""
+    words = F.split("text", " ")
+    n_tokens = F.size(words).cast("double")
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> array_contains({_STOP_SPARK}, w))"))
+    stop_ratio = n_stop / n_tokens
+    type_ratio = F.size(F.array_distinct(words)) / n_tokens
+    len_score = F.least(F.lit(1.0), n_tokens / 100.0)
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(type_ratio, 4).alias("type_ratio"),
+        F.round(0.5 * len_score + 0.3 * (1.0 - stop_ratio) + 0.2 * type_ratio, 4).alias(
+            "quality"
+        ),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH x AS (
+  SELECT doc_id,
+         cast(length(string_split(text, ' ')) as double) AS n_tokens,
+         cast(length(list_filter(string_split(text, ' '),
+                                 w -> list_contains({_STOP_DUCK}, w))) as double) AS n_stop,
+         cast(length(list_distinct(string_split(text, ' '))) as double) AS n_types
+  FROM documents
+)
+SELECT doc_id,
+       round(n_stop / n_tokens, 4) AS stop_ratio,
+       round(n_types / n_tokens, 4) AS type_ratio,
+       round(0.5 * least(1.0, n_tokens / 100.0)
+             + 0.3 * (1.0 - n_stop / n_tokens)
+             + 0.2 * (n_types / n_tokens), 4) AS quality
+FROM x
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: marker-word + vowel-ratio + word-length
+    features through a deterministic rule cascade (C1-shaped)."""
+    words = F.split("text", " ")
+    n_tokens = F.size(words).cast("double")
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> array_contains({_STOP_SPARK}, w))"))
+    stop_ratio = n_stop / n_tokens
+    mean_wlen = (F.length("text") - n_tokens + 1) / n_tokens
+    vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    vowel_ratio = vowels / F.length("text").cast("double")
+    guess = (
+        F.when(stop_ratio > 0.12, F.lit("en"))
+        .when(mean_wlen > 4.6, F.lit("de"))
+        .when(vowel_ratio > 0.28, F.lit("es"))
+        .otherwise(F.lit("other"))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.round(vowel_ratio, 4).alias("vowel_ratio"),
+        guess.alias("guess"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH x AS (
+  SELECT doc_id, text,
+         cast(length(string_split(text, ' ')) as double) AS n_tokens,
+         cast(length(list_filter(string_split(text, ' '),
+                                 w -> list_contains({_STOP_DUCK}, w))) as double) AS n_stop,
+         cast(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) as double) AS vowels
+  FROM documents
+)
+SELECT doc_id,
+       round(n_stop / n_tokens, 4) AS stop_ratio,
+       round((length(text) - n_tokens + 1) / n_tokens, 4) AS mean_wlen,
+       round(vowels / length(text), 4) AS vowel_ratio,
+       CASE WHEN n_stop / n_tokens > 0.12 THEN 'en'
+            WHEN (length(text) - n_tokens + 1) / n_tokens > 4.6 THEN 'de'
+            WHEN vowels / length(text) > 0.28 THEN 'es'
+            ELSE 'other' END AS guess
+FROM x
+"""
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: min-hash over rolling 3-word shingles
+    (a 1-permutation minhash == rolling-hash fingerprint)."""
+    words = P.words_spark("text")
+    sh = P.shingles_spark(words)
+    return docs.select(
+        "doc_id",
+        F.expr(f"array_min(transform({sh}, s -> md5(s)))").alias("fingerprint"),
+    )
+
+
+def doc_fingerprint_sql() -> str:
+    words = P.words_duck("text")
+    sh = P.shingles_duck(words)
+    return (
+        f"SELECT doc_id, list_min(list_transform({sh}, s -> md5(s))) AS fingerprint "
+        "FROM documents"
+    )

@@ -12,6 +12,8 @@ One place for the configs that matter at scale:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -41,3 +43,29 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the cvocr_spark package to Python workers (the local-mode
+    equivalent of `spark-submit --py-files cvocr_spark.zip`).  Without
+    this, mapInArrow/mapInPandas closures that reference module
+    functions fail to unpickle on workers whose sys.path lacks the repo.
+    Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_cvocr_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "cvocr_spark_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "cvocr_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._cvocr_shipped = True
