@@ -62,6 +62,9 @@ class KernelConfig:
     # re-split (cut.h:256-315)
     resplit_factor: float = 4.0 / 3.0  # re-split blocks > factor*standard (cut.h:306)
     resplit_min_chars: int = 480       # absolute floor for re-split trigger
+    resplit_max_chars: int = 2000      # absolute ceiling: a lone giant block
+    #                                    is its own doc standard, so the
+    #                                    relative rule alone never fires
     max_resplit_depth: int = 10        # hard recursion bound (cut.h:260)
     # neighbor relabel (cut.h:733-769)
     max_promotions: int = 3            # <=3 promotions per doc (cut.h:737,764-767)
@@ -190,7 +193,8 @@ _BOILER_TAGS = frozenset("nav header footer aside".split())
 _BLOCK_TAGS = frozenset(
     """p div h1 h2 h3 h4 h5 h6 li td th tr dt dd pre blockquote article
     section main figure figcaption table ul ol dl caption address hr
-    details summary body center fieldset legend""".split()
+    details summary body center fieldset legend nav header footer
+    aside""".split()
 )
 
 # void elements — never pushed on the open-tag stack
@@ -291,13 +295,15 @@ class _Segmenter(HTMLParser):
                 marks.pop()
                 self.skip_depth = max(0, self.skip_depth - 1)
             elif self.skip_depth == 0:
+                # flush BEFORE unwinding boiler/link context: the block
+                # closing here must carry the context it lived in
+                if popped in _BLOCK_TAGS:
+                    self._flush()
+                    self._cur_tag = self.stack[-1] if self.stack else "body"
                 if popped in _BOILER_TAGS:
                     self.boiler_depth = max(0, self.boiler_depth - 1)
                 if popped == "a":
                     self.link_depth = max(0, self.link_depth - 1)
-            if popped in _BLOCK_TAGS and self.skip_depth == 0:
-                self._flush()
-                self._cur_tag = self.stack[-1] if self.stack else "body"
             if popped == tag:
                 break
 
@@ -596,7 +602,12 @@ def extract(html: bytes | str | None, cfg: KernelConfig = DEFAULT_CONFIG) -> Ext
         std_len = _doc_standard_len(blocks, cfg)
 
         # P8 bounded re-split of over-long blocks
-        limit = int(max(cfg.resplit_min_chars, cfg.resplit_factor * max(std_len, 1.0)))
+        limit = int(
+            min(
+                max(cfg.resplit_min_chars, cfg.resplit_factor * max(std_len, 1.0)),
+                cfg.resplit_max_chars,
+            )
+        )
         resplit: list[Block] = []
         for b in blocks:
             if b.n_chars > limit and " " in b.text:
@@ -651,8 +662,11 @@ def extract(html: bytes | str | None, cfg: KernelConfig = DEFAULT_CONFIG) -> Ext
         res.text = "\n".join(parts)
         res.spans = spans
         res.n_blocks = len(kept)
+        # score from PRE-fusion blocks: fusion adds separator chars to the
+        # fused text, which must not inflate the keep ratio past 1.0
         total = sum(b.n_chars for b in blocks)
-        res.score = (sum(b.n_chars for b in kept) / total) if total else 0.0
+        kept_chars = sum(b.n_chars for b in blocks if b.cls == "content")
+        res.score = (kept_chars / total) if total else 0.0
         return res
     except Exception as e:  # absolute backstop: never fail a partition
         res.flags = (res.flags + "," if res.flags else "") + "error:" + type(e).__name__

@@ -1,0 +1,254 @@
+"""Kernel unit + golden + property tests (SURVEY §5 items 1, 2, 5).
+
+Unit tests pin each rule branch of the cascade to a minimal HTML
+snippet, mirroring the reference rule constants they graft
+(cut.h:458-479 fusion refusals, cut.h:824 run-length>=3,
+cut.h:737 promotion cap, cut.h:260 recursion bound,
+reco.py:170-174 absorb threshold)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvocr_spark.fixtures import build_page, chunk_text, gen_pages_table  # noqa: E402
+from cvocr_spark.kernel import DEFAULT_CONFIG, decode_html, extract  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+LONG = "this paragraph carries enough characters to clearly pass the content rule"
+
+
+def _page(body: str) -> bytes:
+    return f"<!DOCTYPE html><html><head><title>t</title></head><body>{body}</body></html>".encode()
+
+
+# -- decode cascade ----------------------------------------------------------
+
+
+def test_decode_bom_utf8():
+    text, flags = decode_html(b"\xef\xbb\xbfhello")
+    assert text == "hello" and flags == ""
+
+
+def test_decode_meta_charset():
+    raw = b'<html><head><meta charset="iso-8859-1"></head><body>caf\xe9</body></html>'
+    text, _ = decode_html(raw)
+    assert "caf\xe9" == text[text.index("caf") : text.index("caf") + 4]
+
+
+def test_decode_bad_charset_falls_back():
+    raw = b'<meta charset="no-such-codec">hello'
+    text, flags = decode_html(raw)
+    assert "hello" in text and "bad_charset" in flags
+
+
+def test_decode_truncates_giant_pages():
+    raw = b"<p>" + b"x" * (DEFAULT_CONFIG.max_html_bytes + 100)
+    text, flags = decode_html(raw)
+    assert "truncated" in flags
+    assert len(text) <= DEFAULT_CONFIG.max_html_bytes
+
+
+# -- chrome strip (P1) -------------------------------------------------------
+
+
+def test_script_style_comments_stripped():
+    r = extract(_page(f"<script>var x=1;</script><style>p{{}}</style><!-- c --><p>{LONG}</p>"))
+    assert r.text == LONG
+
+
+def test_hidden_nodes_stripped():
+    r = extract(_page(f'<div style="display:none">secret</div><p hidden>gone</p><p>{LONG}</p>'))
+    assert r.text == LONG
+
+
+def test_head_title_stripped():
+    r = extract(_page(f"<p>{LONG}</p>"))
+    assert "t" != r.text.split("\n")[0][0] or "t\n" not in r.text
+    assert r.text == LONG
+
+
+# -- classification cascade (C1/F1) ------------------------------------------
+
+
+def test_link_dense_block_is_boilerplate():
+    nav = '<div><a href="/a">one two three four five six</a> x</div>'
+    r = extract(_page(nav + f"<p>{LONG}</p>"))
+    assert r.text == LONG
+
+
+def test_boiler_context_drops_short_text():
+    r = extract(_page(f"<nav>menu items here</nav><footer>copyright 2025 corp</footer><p>{LONG}</p>"))
+    assert r.text == LONG
+
+
+def test_multiple_content_blocks_joined_with_newline():
+    # both blocks >= loose_content_chars (80) => fusion refuses (already-
+    # valid guard, cut.h:461) and the '\n' separator survives
+    a = LONG + " with some extra words padding it"
+    b = LONG + " again and again for block two padded"
+    r = extract(_page(f"<p>{a}</p><p>{b}</p>"))
+    assert r.text == f"{a}\n{b}"
+
+
+def test_short_adjacent_content_blocks_fuse():
+    # first block < 80 chars => P10 fuses it with the next (cut.h:400-497)
+    r = extract(_page(f"<p>{LONG}</p><p>{LONG} again and again for block two</p>"))
+    assert r.text == f"{LONG} {LONG} again and again for block two"
+    assert r.score <= 1.0
+
+
+# -- W2 neighbor relabel / W3 run-length -------------------------------------
+
+
+def test_short_block_between_content_promoted():
+    # 'tiny but here' is 13 chars: alone it is undecided; W2 promotes it
+    r = extract(_page(f"<p>{LONG}</p><p>tiny but ok</p><p>{LONG}</p>"))
+    assert "tiny but ok" in r.text
+
+
+def test_run_of_three_short_blocks_promoted():
+    # three consecutive short link-free blocks (each < short_chars): W3 run rule
+    body = f"<p>{LONG}</p>" + "".join(f"<p>run {i} ok</p>" for i in range(3))
+    r = extract(_page(body))
+    assert "run 0 ok" in r.text and "run 2 ok" in r.text
+
+
+def test_isolated_short_block_dropped():
+    # a single short undecided block with boilerplate neighbors drops
+    nav = '<div><a href="/a">one two three four five six</a> x</div>'
+    r = extract(_page(nav + "<p>tiny</p>" + nav))
+    assert r.text == ""
+
+
+# -- P8 bounded re-split ------------------------------------------------------
+
+
+def test_resplit_bounded_and_lossless():
+    words = " ".join(f"w{i}" for i in range(600))  # ~3000 chars, > resplit floor
+    r = extract(_page(f"<p>{words}</p>"))
+    assert r.text.replace("\n", " ") == words
+    assert len(r.spans) > 1  # actually split
+
+
+def test_span_invariant():
+    words = " ".join(f"word{i}" for i in range(300))
+    r = extract(_page(f"<p>{words}</p><p>{LONG}</p>"))
+    prev_end = -1
+    for (bid, s, e, cls) in r.spans:
+        assert 0 <= s <= e <= len(r.text)
+        assert s > prev_end
+        prev_end = e
+        assert "\n" not in r.text[s:e]
+
+
+# -- robustness ---------------------------------------------------------------
+
+
+def test_malformed_html_never_raises():
+    cases = [
+        b"<p>unclosed <b>bold <p>next",
+        b"<<<>>><p>text here that is long enough to be content</p",
+        b"\x00\x01\x02 not html at all",
+        b"",
+        None,
+        b"<html><body><div><div><div><p>deep" + b"</div>" * 50,
+    ]
+    for c in cases:
+        r = extract(c)
+        assert isinstance(r.text, str)
+
+
+def test_empty_and_whitespace_pages():
+    assert extract(b"").text == ""
+    assert extract(_page("   \n\t  ")).text == ""
+    assert extract(b"<html></html>").text == ""
+
+
+def test_determinism_two_runs():
+    html = build_page(7, "alpha beta gamma " * 20, "en", "src7")[2]
+    r1, r2 = extract(html), extract(html)
+    assert r1.text == r2.text and r1.spans == r2.spans and r1.score == r2.score
+
+
+# -- golden end-to-end (north_rule byte-identical gate) -----------------------
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_goldens_byte_identical(sf):
+    golden = pq.read_table(os.path.join(HERE, "goldens", f"golden_sf{sf}.parquet"))
+    pages = gen_pages_table(f"/root/testdata/sf{sf}/documents.parquet")
+    assert pages.num_rows == golden.num_rows
+    for i in range(pages.num_rows):
+        r = extract(pages.column("html")[i].as_py())
+        assert r.text == golden.column("text")[i].as_py(), (
+            f"text mismatch for {golden.column('url')[i].as_py()}"
+        )
+        gspans = [
+            (d["block_id"], d["char_start"], d["char_end"], d["cls"])
+            for d in golden.column("spans")[i].as_py()
+        ]
+        assert r.spans == gspans
+        # span invariant vs golden text
+        for (_b, s, e, _c) in gspans:
+            assert 0 <= s <= e <= len(r.text)
+
+
+# -- property-based (hypothesis, SURVEY §5 item 5) -----------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=9), min_size=1, max_size=120
+)
+
+
+def test_tiny_document_below_content_threshold_drops():
+    # semantics boundary: a page whose entire text is shorter than
+    # short_chars (15) has no block that can pass any content rule —
+    # dropped, like boilerpipe's min-fragment behavior.  The fixture
+    # corpus (documents.parquet) has min length 44, far above this.
+    url, ts, html, t, lang = build_page(0, "a", "en", "src0")
+    assert extract(html).text == ""
+
+
+@settings(max_examples=60, deadline=None)
+@given(_words, st.integers(min_value=0, max_value=10_000))
+def test_property_roundtrip_on_generated_pages(words, doc_id):
+    from hypothesis import assume
+
+    text = " ".join(words)
+    assume(len(text) >= 15)  # above the kernel's min-content boundary
+    url, ts, html, t, lang = build_page(doc_id, text, "en", f"src{doc_id % 20}")
+    r = extract(html)
+    assert r.text.replace("\n", " ") == text
+    # spans sorted, non-overlapping, in-bounds
+    prev = -1
+    for (_b, s, e, _c) in r.spans:
+        assert 0 <= s <= e <= len(r.text) and s > prev
+        prev = e
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=4096))
+def test_property_never_raises_on_garbage(raw):
+    r = extract(raw)
+    assert isinstance(r.text, str)
+    for (_b, s, e, _c) in r.spans:
+        assert 0 <= s <= e <= len(r.text)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_words)
+def test_property_chunking_partitions_text(words):
+    import random
+
+    text = " ".join(words)
+    chunks = chunk_text(text, random.Random(1234))
+    assert " ".join(chunks) == text

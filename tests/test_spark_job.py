@@ -1,0 +1,106 @@
+"""Spark-path tests (SURVEY §5 items 3, 6): mapInArrow output ==
+pure-kernel goldens byte-for-byte, invariance across partition counts,
+and kill/resume lineage semantics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvocr_spark.fixtures import gen_pages_df, gen_pages_table  # noqa: E402
+from cvocr_spark.plans.job import extract_pages  # noqa: E402
+from cvocr_spark.sources.tableio import run_extraction  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SF = "0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    docs = spark.read.parquet(f"/root/testdata/sf{SF}/documents.parquet")
+    return gen_pages_df(spark, docs)
+
+
+def _golden_map():
+    g = pq.read_table(os.path.join(HERE, "goldens", f"golden_sf{SF}.parquet"))
+    return {
+        g.column("url")[i].as_py(): (
+            g.column("text")[i].as_py(),
+            g.column("spans")[i].as_py(),
+        )
+        for i in range(g.num_rows)
+    }
+
+
+def test_spark_matches_goldens_byte_identical(spark, pages):
+    golden = _golden_map()
+    rows = extract_pages(pages, n_partitions=8).select("url", "text", "spans").collect()
+    assert len(rows) == len(golden)
+    for r in rows:
+        gtext, gspans = golden[r["url"]]
+        assert r["text"] == gtext, f"text mismatch for {r['url']}"
+        got_spans = [s.asDict() for s in r["spans"]]
+        assert got_spans == gspans, f"span mismatch for {r['url']}"
+
+
+def test_partition_count_invariance(spark, pages):
+    a = extract_pages(pages, n_partitions=2).select("url", "text").collect()
+    b = extract_pages(pages, n_partitions=17).select("url", "text").collect()
+    assert sorted((r["url"], r["text"]) for r in a) == sorted(
+        (r["url"], r["text"]) for r in b
+    )
+
+
+def test_resume_after_partial_run(spark, pages):
+    d = tempfile.mkdtemp(prefix="cvocr_resume_")
+    try:
+        out, out_solo = d + "/ext", d + "/ext_solo"
+        # killed run: only 3 buckets commit
+        r1 = run_extraction(spark, pages, out, n_buckets=12, max_buckets=3, run_id="r1")
+        assert r1["buckets_committed_now"] == 3
+        # resume: remaining buckets only
+        r2 = run_extraction(spark, pages, out, n_buckets=12, run_id="r2")
+        assert r2["buckets_committed_before"] == 3
+        assert r2["buckets_committed_now"] == 9
+        # resumed result == single-shot result, byte-for-byte
+        run_extraction(spark, pages, out_solo, n_buckets=12, run_id="solo")
+        resumed = spark.read.parquet(out).select("url", "text")
+        solo = spark.read.parquet(out_solo).select("url", "text")
+        assert resumed.exceptAll(solo).count() == 0
+        assert solo.exceptAll(resumed).count() == 0
+        # no bucket processed twice
+        mani = spark.read.parquet(out + "_manifest")
+        assert mani.count() == mani.select("bucket").distinct().count()
+        # third run: nothing pending
+        r3 = run_extraction(spark, pages, out, n_buckets=12, run_id="r3")
+        assert r3["buckets_committed_now"] == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_spark_gen_matches_local_gen(spark, pages):
+    local = gen_pages_table(f"/root/testdata/sf{SF}/documents.parquet")
+    local_map = {
+        local.column("url")[i].as_py(): local.column("html")[i].as_py()
+        for i in range(local.num_rows)
+    }
+    rows = pages.select("url", "html").collect()
+    assert len(rows) == len(local_map)
+    for r in rows:
+        assert bytes(r["html"]) == local_map[r["url"]]
+
+
+def test_prefilter_prunes_empty_html(spark):
+    pdf = spark.createDataFrame(
+        [("u1", None), ("u2", b"")],
+        "url string, html binary",
+    ).withColumn("warc_ts", F.current_timestamp())
+    assert extract_pages(pdf, salted=False).count() == 0
