@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BENCH/BASELINE.md protocol).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extract": {docs, docs_per_sec, ...},
+   "scaling": {throughput_8, throughput_32, efficiency}}
+
+The scaling block is the sandbox proxy for the north_rule's N-vs-4N
+executor criterion: the SAME extraction job on the SAME input at
+local[8] and local[32] (BASELINE.md protocol), efficiency =
+throughput_32 / (4 * throughput_8).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), CVOCR_BENCH_VARIANTS (default 40 ->
+200k pages from sf0.1), CVOCR_BENCH_SCALING=0 to skip the two-level run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+VARIANTS = int(os.environ.get("CVOCR_BENCH_VARIANTS", "40"))
+DO_SCALING = os.environ.get("CVOCR_BENCH_SCALING", "1") != "0"
+SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+HEADLINE = [
+    "conditional_counts",
+    "topk_per_group",
+    "gaps_islands_rle",
+    "sessionize",
+    "equi_join_agg",
+    "histogram_topk",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "token_stats",
+]
+
+
+def _session(cores: int):
+    from cvocr_spark.session import build_session, ensure_shipped
+
+    s = build_session(
+        app=f"cvocr-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(s)
+    return s
+
+
+def _gen_corpus(spark, pages_path: str) -> int:
+    """Materialize the bench corpus once (seeded, deterministic)."""
+    from cvocr_spark.fixtures import gen_pages_df
+
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        gen_pages_df(spark, docs, variants=VARIANTS).repartition(CPUS).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+    return spark.read.parquet(pages_path).count()
+
+
+def _run_extract(spark, pages_path: str, out_dir: str, n_parts, salted: bool) -> float:
+    """One full Stage-A run; returns wall seconds.
+
+    salted=False is the DESIGN path at scale: the corpus is stored
+    bucketed-by-url-hash (here: written round-robin-uniform at gen
+    time), so the scan partitions are already skew-free and the kernel
+    stage runs with no exchange — measured at ~98% of this box's
+    multiprocessing ceiling.  salted=True adds the runtime
+    repartition(sha2(url)) used for ad-hoc unbucketed input; it moves
+    every html byte through the shuffle and costs ~30% here."""
+    from cvocr_spark.plans.job import extract_pages
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    extract_pages(pages, n_partitions=n_parts, salted=salted).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return time.perf_counter() - t0
+
+
+def _mp_work(htmls):
+    from cvocr_spark.kernel import extract
+
+    n = 0
+    for h in htmls:
+        n += len(extract(h).text)
+    return n
+
+
+def _hw_ceiling() -> dict:
+    """Pure-Python kernel via multiprocessing: the box's parallel
+    ceiling, independent of Spark."""
+    import multiprocessing as mp
+
+    from cvocr_spark.fixtures import gen_pages_table
+
+    t = gen_pages_table(f"{SF_DIR}/documents.parquet")
+    htmls = t.column("html").to_pylist()
+    out = {}
+    for procs, reps in ((8, 2), (32, 1)):
+        chunks = [htmls] * (procs * reps)
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_mp_work, chunks, chunksize=1)
+        dt = time.perf_counter() - t0
+        out[f"hw_ceiling_throughput_{procs}"] = round(len(htmls) * len(chunks) / dt, 1)
+    out["hw_ceiling_efficiency"] = round(
+        out["hw_ceiling_throughput_32"] / (4.0 * out["hw_ceiling_throughput_8"]), 3
+    )
+    return out
+
+
+def main() -> None:
+    from cvocr_spark.contract import build_contract
+
+    tmp = tempfile.mkdtemp(prefix="cvocr_bench_")
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"cvocr_bench_pages_sf{SF}_v{VARIANTS}"
+    )
+    result: dict = {"metric": "headline_queries_total_wall", "unit": "sec", "sf": SF}
+    try:
+        spark = _session(CPUS)
+        n_docs = _gen_corpus(spark, pages_path)
+
+        # headline relational queries at SF_DIR (one warm + one timed)
+        contract = build_contract()
+        queries: dict[str, float] = {}
+        for name in HEADLINE:
+            fn, _sql = contract[name]
+            fn(spark, SF_DIR).count()  # warm (plan + scan cache)
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+        # extraction throughput at full parallelism (2 warm runs for JVM C2
+        # + python-worker reuse, then 2 timed, best) — both pipeline layouts
+        for i in range(2):
+            _run_extract(spark, pages_path, os.path.join(tmp, f"w{i}"), None, False)
+        t_bucketed = min(
+            _run_extract(spark, pages_path, os.path.join(tmp, f"e{i}"), None, False)
+            for i in range(2)
+        )
+        t_salted = min(
+            _run_extract(spark, pages_path, os.path.join(tmp, f"x{i}"), CPUS * 4, True)
+            for i in range(2)
+        )
+        queries["extract_pages"] = round(t_bucketed, 3)
+        queries["extract_pages_salted"] = round(t_salted, 3)
+        result["extract"] = {
+            "docs": n_docs,
+            "wall_sec": round(t_bucketed, 3),
+            "docs_per_sec": round(n_docs / t_bucketed, 1),
+            "docs_per_sec_salted": round(n_docs / t_salted, 1),
+            "cores": CPUS,
+        }
+        spark.stop()
+
+        if DO_SCALING:
+            # hardware ceiling FIRST, adjacent in time to the Spark runs it
+            # normalizes (the box throttles under sustained load; ordering
+            # skews any measurement that runs last)
+            hw = _hw_ceiling()
+            scal = {}
+            for cores in (8, 32):
+                s = _session(cores)
+                for i in range(2):  # JVM C2 + worker-reuse warmup
+                    _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}w{i}"), None, False)
+                ts = [
+                    _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}{i}"), None, False)
+                    for i in range(3)
+                ]
+                scal[f"throughput_{cores}"] = round(n_docs / min(ts), 1)
+                s.stop()
+            scal["efficiency"] = round(
+                scal["throughput_32"] / (4.0 * scal["throughput_8"]), 3
+            )
+            # hw ceiling = same pure-Python kernel via multiprocessing, no
+            # Spark: on a real cluster 4N executors are 4x machines and this
+            # single-box ceiling (memory bus + turbo) does not apply; here it
+            # bounds any 8->32 measurement, so report efficiency vs it too.
+            scal.update(hw)
+            scal["efficiency_vs_hw_ceiling"] = round(
+                scal["efficiency"] / hw["hw_ceiling_efficiency"], 3
+            )
+            result["scaling"] = scal
+
+        result["queries"] = queries
+        result["value"] = round(sum(queries.values()), 3)
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,20 +91,59 @@ def simhash_duck(words: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-# -- minhash signature component (k salted 60-bit hash functions) -----------
+# -- minhash signature component (k hash functions via double hashing) ------
+# ONE md5 per shingle: split the 32-hex digest into two 56-bit halves
+# (h1 = hex[0:14], h2 = hex[14:28]) and derive hash_j = h1 + j*h2.
+# Max value h1 + (k-1)*h2 < 2^56 * k — safe in bigint for k <= 63 under
+# ANSI mode.  8x fewer md5 calls than salting the hash per function.
 
-def minhash_spark(shingles: str, k: int) -> list[str]:
+
+def _h14_spark(hexpr: str, off: int) -> str:
+    return f"cast(conv(substr({hexpr}, {off}, 14), 16, 10) as bigint)"
+
+
+def _h14_duck(hexpr: str, off: int) -> str:
+    return f"cast('0x' || substr({hexpr}, {off}, 14) as bigint)"
+
+
+def minhash_pairs_spark(shingles: str) -> str:
+    """array<struct<h1,h2>> — materialize ONCE per row, then derive all k
+    minhashes from it (md5 is the expensive part)."""
+    return (
+        f"transform({shingles}, s -> named_struct("
+        f"'h1', {_h14_spark('md5(s)', 1)}, 'h2', {_h14_spark('md5(s)', 15)}))"
+    )
+
+
+def minhash_from_pairs_spark(pairs_col: str, k: int) -> list[str]:
     return [
-        f"array_min(transform({shingles}, s -> {hash60_spark('s', str(j))}))"
+        f"array_min(transform({pairs_col}, p -> p.h1 + {j}L * p.h2))"
         for j in range(k)
     ]
+
+
+def minhash_pairs_duck(shingles: str) -> str:
+    return (
+        f"list_transform({shingles}, s -> "
+        f"{{'h1': {_h14_duck('md5(s)', 1)}, 'h2': {_h14_duck('md5(s)', 15)}}})"
+    )
+
+
+def minhash_from_pairs_duck(pairs_col: str, k: int) -> list[str]:
+    return [
+        f"list_min(list_transform({pairs_col}, p -> p.h1 + {j}::bigint * p.h2))"
+        for j in range(k)
+    ]
+
+
+def minhash_spark(shingles: str, k: int) -> list[str]:
+    p = minhash_pairs_spark(shingles)
+    return [e.replace("__P__", p) for e in minhash_from_pairs_spark("__P__", k)]
 
 
 def minhash_duck(shingles: str, k: int) -> list[str]:
-    return [
-        f"list_min(list_transform({shingles}, s -> {hash60_duck('s', str(j))}))"
-        for j in range(k)
-    ]
+    p = minhash_pairs_duck(shingles)
+    return [e.replace("__P__", p) for e in minhash_from_pairs_duck("__P__", k)]
 
 
 # -- cosine similarity over array<float> embeddings --------------------------

@@ -73,15 +73,24 @@ BANDS = 4  # 4 bands x 2 rows
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """k salted 60-bit minhashes over distinct 3-word shingles —
-    pure per-row expressions, zero shuffle."""
+    """k minhashes over distinct 3-word shingles — pure per-row
+    expressions, zero shuffle.  One md5 per shingle (the costly part),
+    materialized as an (h1,h2) pair array in a first projection; the k
+    signature mins derive from it by double hashing h1 + j*h2."""
     words = P.words_spark("text")
     shingles = f"array_distinct({P.shingles_spark(words)})"
+    # spread the CPU-heavy hashing across all cores: a small parquet
+    # arrives as 1-2 scan partitions; at real scale the input is already
+    # wide and this repartition coalesces away under AQE
+    sc = docs.sparkSession.sparkContext
+    paired = docs.repartition(sc.defaultParallelism).select(
+        "doc_id", F.expr(P.minhash_pairs_spark(shingles)).alias("mhp")
+    )
     cols = [F.col("doc_id")] + [
         F.expr(e).alias(f"mh{j}")
-        for j, e in enumerate(P.minhash_spark(shingles, MINHASH_K))
+        for j, e in enumerate(P.minhash_from_pairs_spark("mhp", MINHASH_K))
     ]
-    return docs.select(*cols)
+    return paired.select(*cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -115,7 +124,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 def minhash_lsh_pairs_sql(corpus: str = "documents") -> str:
     words = P.words_duck("text")
     shingles = f"list_distinct({P.shingles_duck(words)})"
-    mh = P.minhash_duck(shingles, MINHASH_K)
+    mh = P.minhash_from_pairs_duck("mhp", MINHASH_K)
     mh_select = ", ".join(f"{e} AS mh{j}" for j, e in enumerate(mh))
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
@@ -124,7 +133,8 @@ def minhash_lsh_pairs_sql(corpus: str = "documents") -> str:
     )
     return f"""
     WITH corpus AS ({corpus}),
-    sigs AS (SELECT doc_id, {mh_select} FROM corpus),
+    paired AS (SELECT doc_id, {P.minhash_pairs_duck(shingles)} AS mhp FROM corpus),
+    sigs AS (SELECT doc_id, {mh_select} FROM paired),
     banded AS ({bands})
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
     FROM banded a JOIN banded b
