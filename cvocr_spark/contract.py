@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .fixtures import gen_pages_df
 from .operators import dedup, multimodal, relational, similarity, textstats, windows
-from .plans.job import extract_pages
+from .plans.job import extract_blocks, extract_pages
 from .session import ensure_shipped
 
 
@@ -84,6 +84,22 @@ def q_extract_chars_by_lang_nokscore(spark: SparkSession, sf_dir: str) -> DataFr
     return q_extract_chars_by_lang(spark, sf_dir).drop("mean_keep_score")
 
 
+def q_extract_blocks_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc->blocks UDTF stage (region.txt IR analogue): per-class
+    block stats.  Kernel-internal segmentation/classification is not
+    SQL-derivable, so this entry has no oracle (driver's rows-only
+    check); byte-level verification lives in the golden pytest suite."""
+    ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pages = gen_pages_df(spark, docs)
+    blocks = extract_blocks(pages)
+    return blocks.groupBy("cls", "tag").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("n_chars").alias("n_chars"),
+        F.round(F.avg("link_density"), 4).alias("mean_link_density"),
+    )
+
+
 # --------------------------------------------------------------------------
 # the contract table
 # --------------------------------------------------------------------------
@@ -100,6 +116,7 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         q_extract_chars_by_lang_nokscore,
         EXTRACT_CHARS_BY_LANG_SQL,
     )
+    c["extract_blocks_stats"] = (q_extract_blocks_stats, None)
 
     # aggregations (SURVEY §2d)
     c["filtered_mean"] = (

@@ -109,6 +109,92 @@ def extraction_kernel_arrow(cfg: KernelConfig = DEFAULT_CONFIG):
     return _run
 
 
+BLOCKS_DDL = (
+    "url string, block_id int, depth int, tag string, text string, "
+    "cls string, n_chars int, link_density double, text_density double, "
+    "boiler_ctx boolean"
+)
+
+_BLOCKS_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("block_id", pa.int32()),
+        pa.field("depth", pa.int32()),
+        pa.field("tag", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("cls", pa.string()),
+        pa.field("n_chars", pa.int32()),
+        pa.field("link_density", pa.float64()),
+        pa.field("text_density", pa.float64()),
+        pa.field("boiler_ctx", pa.bool_()),
+    ]
+)
+
+
+def blocks_kernel_arrow(cfg: KernelConfig = DEFAULT_CONFIG):
+    """doc -> n block rows: the UDTF-shaped stage (SURVEY §2g: 'the
+    entire C++/Py kernel is, morally, one UDTF').  Emits the classified
+    per-block intermediate table — the graft of the region.txt IR
+    (reference cut.h:863-893, parsed back at reco.py:194-216)."""
+
+    def _run(batches):
+        for rb in batches:
+            urls = rb.column("url").to_pylist()
+            htmls = rb.column("html").to_pylist()
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "url block_id depth tag text cls n_chars "
+                    "link_density text_density boiler_ctx".split()
+                )
+            }
+            for u, h in zip(urls, htmls):
+                r = extract(h, cfg)
+                for b in r.blocks:
+                    cols["url"].append(u)
+                    cols["block_id"].append(b.block_id)
+                    cols["depth"].append(b.depth)
+                    cols["tag"].append(b.tag)
+                    cols["text"].append(b.text)
+                    cols["cls"].append(b.cls)
+                    cols["n_chars"].append(b.n_chars)
+                    cols["link_density"].append(b.link_density)
+                    cols["text_density"].append(b.text_density)
+                    cols["boiler_ctx"].append(b.boiler_ctx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["url"], pa.string()),
+                    pa.array(cols["block_id"], pa.int32()),
+                    pa.array(cols["depth"], pa.int32()),
+                    pa.array(cols["tag"], pa.string()),
+                    pa.array(cols["text"], pa.string()),
+                    pa.array(cols["cls"], pa.string()),
+                    pa.array(cols["n_chars"], pa.int32()),
+                    pa.array(cols["link_density"], pa.float64()),
+                    pa.array(cols["text_density"], pa.float64()),
+                    pa.array(cols["boiler_ctx"], pa.bool_()),
+                ],
+                schema=_BLOCKS_ARROW,
+            )
+
+    return _run
+
+
+def extract_blocks(
+    pages: DataFrame,
+    n_partitions: int | None = None,
+    cfg: KernelConfig = DEFAULT_CONFIG,
+    salted: bool = False,
+) -> DataFrame:
+    """pages -> classified blocks table (FIXTURES.md §3)."""
+    slim = pages.select("url", "html").filter(
+        F.col("html").isNotNull() & (F.length("html") > 0)
+    )
+    if salted and n_partitions:
+        slim = slim.repartition(n_partitions, F.sha2(F.col("url"), 256))
+    return slim.mapInArrow(blocks_kernel_arrow(cfg), schema=BLOCKS_DDL)
+
+
 def extract_pages(
     pages: DataFrame,
     n_partitions: int | None = None,

@@ -98,6 +98,26 @@ def test_spark_gen_matches_local_gen(spark, pages):
         assert bytes(r["html"]) == local_map[r["url"]]
 
 
+def test_blocks_table_matches_kernel(spark, pages):
+    from cvocr_spark.kernel import extract
+    from cvocr_spark.plans.job import extract_blocks
+
+    sample = pages.limit(20).cache()
+    rows = extract_blocks(sample).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    for pr in sample.select("url", "html").collect():
+        kb = extract(bytes(pr["html"])).blocks
+        got = sorted(by_url[pr["url"]], key=lambda r: r["block_id"])
+        assert len(got) == len(kb)
+        for g, b in zip(got, kb):
+            assert (g["block_id"], g["tag"], g["text"], g["cls"]) == (
+                b.block_id, b.tag, b.text, b.cls
+            )
+    sample.unpersist()
+
+
 def test_prefilter_prunes_empty_html(spark):
     pdf = spark.createDataFrame(
         [("u1", None), ("u2", b"")],
