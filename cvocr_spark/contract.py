@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .fixtures import gen_pages_df
-from .operators import dedup, multimodal, relational, similarity, textstats, windows
+from .operators import (
+    dedup,
+    multimodal,
+    relational,
+    scalar_fns,
+    similarity,
+    textstats,
+    windows,
+)
 from .plans.job import extract_blocks, extract_pages
 from .session import ensure_shipped
 
@@ -117,6 +125,45 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         EXTRACT_CHARS_BY_LANG_SQL,
     )
     c["extract_blocks_stats"] = (q_extract_blocks_stats, None)
+
+    def q_extract_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # C5 golden-comparison join: extraction output vs source-of-truth
+        ensure_shipped(spark)
+        docs = _t(spark, sf_dir, "documents")
+        pages = gen_pages_df(spark, docs)
+        got = extract_pages(pages).select(
+            "url", F.regexp_replace("text", "\n", " ").alias("got")
+        )
+        want = docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+                F.col("lang"), F.lit("/doc"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.col("text").alias("want"),
+        )
+        return scalar_fns.extract_match_rate(got, want)
+
+    c["extract_match_rate"] = (
+        q_extract_match_rate,
+        # the generator invariant makes every url match; the oracle states
+        # that expectation over the same corpus
+        "SELECT count(*) AS n_urls, cast(count(*) as bigint) AS n_matched, "
+        "cast(100.0 as double) AS match_pct FROM documents",
+    )
+
+    # scalar string/date/math + array/explode + grouping sets coverage
+    c["string_date_fns"] = (
+        lambda s, d: scalar_fns.string_date_fns(_t(s, d, "events")),
+        scalar_fns.STRING_DATE_FNS_SQL,
+    )
+    c["explode_array_ops"] = (
+        lambda s, d: scalar_fns.explode_array_ops(_t(s, d, "embeddings")),
+        scalar_fns.EXPLODE_ARRAY_OPS_SQL,
+    )
+    c["cube_counts"] = (
+        lambda s, d: scalar_fns.cube_counts(_t(s, d, "documents")),
+        scalar_fns.CUBE_COUNTS_SQL,
+    )
 
     # aggregations (SURVEY §2d)
     c["filtered_mean"] = (

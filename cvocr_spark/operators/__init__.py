@@ -1,1 +1,9 @@
-from . import dedup, multimodal, relational, similarity, textstats, windows  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    scalar_fns,
+    similarity,
+    textstats,
+    windows,
+)
