@@ -76,6 +76,10 @@ class KernelConfig:
     similar_ratio: float = 0.8         # MIN_SIMILIRITY (cut.h:40)
     # low-score absorb (reco.py:167-176)
     absorb_score: float = 0.4
+    # segmentation backend: the fast regex scanner (fastparse.py) or the
+    # stdlib-HTMLParser reference path; both verified block-identical on
+    # the fixture corpus (tests/test_fastparse.py)
+    fast_parse: bool = True
 
 
 DEFAULT_CONFIG = KernelConfig()
@@ -585,7 +589,12 @@ def extract(html: bytes | str | None, cfg: KernelConfig = DEFAULT_CONFIG) -> Ext
     try:
         doc, flags = decode_html(html, cfg)
         res.flags = flags
-        seg = _Segmenter()
+        if cfg.fast_parse:
+            from .fastparse import FastSegmenter
+
+            seg = FastSegmenter()
+        else:
+            seg = _Segmenter()
         seg.feed(doc)
         seg.close()
         raw_blocks = seg.blocks

@@ -1,0 +1,76 @@
+"""Differential tests: FastSegmenter vs the stdlib-HTMLParser reference
+segmenter must produce identical extraction results on the entire
+fixture corpus and on seeded generated pages; on arbitrary garbage both
+must not crash."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvocr_spark.fixtures import build_page, gen_pages_table  # noqa: E402
+from cvocr_spark.kernel import DEFAULT_CONFIG, extract  # noqa: E402
+
+FAST = dataclasses.replace(DEFAULT_CONFIG, fast_parse=True)
+SLOW = dataclasses.replace(DEFAULT_CONFIG, fast_parse=False)
+
+
+def _same(html: bytes) -> None:
+    a, b = extract(html, FAST), extract(html, SLOW)
+    assert a.text == b.text
+    assert a.spans == b.spans
+    assert a.score == b.score
+    assert [(x.block_id, x.tag, x.text, x.cls) for x in a.blocks] == [
+        (x.block_id, x.tag, x.text, x.cls) for x in b.blocks
+    ]
+
+
+def test_fast_equals_reference_on_fixture_corpus():
+    for sf in ("0.001", "0.01"):
+        pages = gen_pages_table(f"/root/testdata/sf{sf}/documents.parquet")
+        for i in range(pages.num_rows):
+            _same(pages.column("html")[i].as_py())
+
+
+def test_fast_handles_edge_markup():
+    cases = [
+        b"<script>if (a<b) { x='</div>'; }</script><p>real content that is long enough</p>",
+        b"<style>p:before{content:'<'}</style><p>real content that is long enough here</p>",
+        b"<title>skip me</title><p>real content that is long enough to pass the rule</p>",
+        b"<textarea><p>not content</p></textarea><p>real content long enough to pass ok</p>",
+        b"<!-- <p>commented out</p> --><p>real content that is long enough to pass it</p>",
+        b"<![CDATA[<p>cdata</p>]]><p>real content that is long enough to pass the bar</p>",
+        b"<p>unterminated <script>var x = 1;",
+        b"<P>UPPERCASE TAGS WITH text that is long enough to be actual page content</P>",
+        b"<p/><p>self closing then real content that is long enough to pass the rule</p>",
+        b"<div hidden><p>invisible</p></div><p>real content long enough to pass the bar</p>",
+        b'<div style="display:none"><p>gone</p></div><p>real content long enough to pass</p>',
+        b"<p>entity test &amp; &lt;tag&gt; &#65; &nbsp; plus words to reach threshold ok</p>",
+    ]
+    for c in cases:
+        _same(c)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdefghij", min_size=1, max_size=8), min_size=3, max_size=80),
+    st.integers(min_value=0, max_value=5000),
+)
+def test_fast_equals_reference_on_generated_pages(words, doc_id):
+    text = " ".join(words)
+    _same(build_page(doc_id, text, "en", f"src{doc_id % 9}")[2])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_fast_never_crashes_on_garbage(raw):
+    r = extract(raw, FAST)
+    assert isinstance(r.text, str)
+    for (_b, s, e, _c) in r.spans:
+        assert 0 <= s <= e <= len(r.text)
