@@ -71,7 +71,9 @@ def _gen_corpus(spark, pages_path: str) -> int:
     return spark.read.parquet(pages_path).count()
 
 
-def _run_extract(spark, pages_path: str, out_dir: str, n_parts, salted: bool) -> float:
+def _run_extract(
+    spark, pages_path: str, out_dir: str, n_parts, salted: bool, mult: int = 1
+) -> float:
     """One full Stage-A run; returns wall seconds.
 
     salted=False is the DESIGN path at scale: the corpus is stored
@@ -84,39 +86,89 @@ def _run_extract(spark, pages_path: str, out_dir: str, n_parts, salted: bool) ->
     from cvocr_spark.plans.job import extract_pages
 
     pages = spark.read.parquet(pages_path)
-    t0 = time.perf_counter()
+    for _ in range(mult - 1):  # amortize per-job fixed cost at high core
+        pages = pages.union(spark.read.parquet(pages_path))  # counts: one job,
+    t0 = time.perf_counter()  # mult x the docs (dup urls fine for throughput)
     extract_pages(pages, n_partitions=n_parts, salted=salted).write.mode(
         "overwrite"
     ).parquet(out_dir)
     return time.perf_counter() - t0
 
 
-def _mp_work(htmls):
+_MP_HTMLS = None
+
+
+def _mp_init():
+    """Each worker loads the corpus itself — shipping 8 MB of pickled
+    pages per task would dominate the (fast) kernel and understate the
+    ceiling."""
+    global _MP_HTMLS
+    from cvocr_spark.fixtures import gen_pages_table
+
+    _MP_HTMLS = gen_pages_table(f"{SF_DIR}/documents.parquet").column("html").to_pylist()
+
+
+def _mp_work(_):
     from cvocr_spark.kernel import extract
 
     n = 0
-    for h in htmls:
+    for h in _MP_HTMLS:
         n += len(extract(h).text)
     return n
 
 
-def _hw_ceiling() -> dict:
-    """Pure-Python kernel via multiprocessing: the box's parallel
-    ceiling, independent of Spark."""
+def _spin(core_set):
+    os.sched_setaffinity(0, core_set)
+    x = 0
+    while True:
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+
+
+def _start_spinners(core_set):
     import multiprocessing as mp
 
-    from cvocr_spark.fixtures import gen_pages_table
+    procs = [mp.Process(target=_spin, args=(core_set,), daemon=True) for _ in core_set]
+    for p in procs:
+        p.start()
+    return procs
 
-    t = gen_pages_table(f"{SF_DIR}/documents.parquet")
-    htmls = t.column("html").to_pylist()
+
+def _stop_spinners(procs):
+    for p in procs:
+        p.terminate()
+    for p in procs:
+        p.join(timeout=5)
+
+
+def _hw_ceiling(procs_levels=((8, 2), (32, 1))) -> dict:
+    """Pure-Python kernel via multiprocessing: the box's parallel
+    ceiling, independent of Spark.  Iso-frequency protocol: the 8-proc
+    level is measured with the other 24 cores loaded by spinners, so
+    both levels run at the same (all-core) clock — on a real cluster
+    N vs 4N executors are different machines at identical clocks, and
+    an idle-box 8-core run at single-core turbo would understate
+    4N/N scaling for reasons that have nothing to do with the code."""
+    import multiprocessing as mp
+
+    _mp_init()  # also warms the generated corpus cache
+    per_task = len(_MP_HTMLS)
     out = {}
-    for procs, reps in ((8, 2), (32, 1)):
-        chunks = [htmls] * (procs * reps)
-        t0 = time.perf_counter()
-        with mp.Pool(procs) as p:
-            p.map(_mp_work, chunks, chunksize=1)
-        dt = time.perf_counter() - t0
-        out[f"hw_ceiling_throughput_{procs}"] = round(len(htmls) * len(chunks) / dt, 1)
+    for procs, reps in procs_levels:
+        spinners = []
+        if procs < CPUS:
+            os.sched_setaffinity(0, range(procs))
+            spinners = _start_spinners(set(range(procs, CPUS)))
+        try:
+            with mp.Pool(procs, initializer=_mp_init) as pool:
+                pool.map(_mp_work, range(procs))  # warm (also runs init)
+                t0 = time.perf_counter()
+                pool.map(_mp_work, range(procs * reps), chunksize=1)
+                dt = time.perf_counter() - t0
+        finally:
+            if spinners:
+                _stop_spinners(spinners)
+                os.sched_setaffinity(0, range(CPUS))
+        out[f"hw_ceiling_throughput_{procs}"] = round(per_task * procs * reps / dt, 1)
     out["hw_ceiling_efficiency"] = round(
         out["hw_ceiling_throughput_32"] / (4.0 * out["hw_ceiling_throughput_8"]), 3
     )
@@ -169,31 +221,44 @@ def main() -> None:
         spark.stop()
 
         if DO_SCALING:
-            # hardware ceiling FIRST, adjacent in time to the Spark runs it
-            # normalizes (the box throttles under sustained load; ordering
-            # skews any measurement that runs last)
+            # ISO-FREQUENCY protocol (see BENCH/BASELINE.md): the N-core
+            # level is measured with the bench process (and hence the JVM
+            # + python workers) affinity-pinned to N cores while spinner
+            # processes load the remaining cores, so both cluster sizes
+            # run at the same all-core clock — as they would on a real
+            # cluster where 4N executors are 4x machines, not 4x load on
+            # the same silicon.  Hardware ceiling measured the same way,
+            # adjacent in time (the box throttles under sustained load).
             hw = _hw_ceiling()
             scal = {}
             for cores in (8, 32):
-                s = _session(cores)
-                for i in range(2):  # JVM C2 + worker-reuse warmup
-                    _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}w{i}"), None, False)
-                ts = [
-                    _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}{i}"), None, False)
-                    for i in range(3)
-                ]
-                scal[f"throughput_{cores}"] = round(n_docs / min(ts), 1)
-                s.stop()
+                spinners = []
+                if cores < CPUS:
+                    os.sched_setaffinity(0, range(cores))
+                    spinners = _start_spinners(set(range(cores, CPUS)))
+                try:
+                    mult = 3  # 600k docs/job: fixed job cost <5% even at 32c
+                    s = _session(cores)
+                    for i in range(2):  # JVM C2 + worker-reuse warmup
+                        _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}w{i}"), None, False, mult)
+                    ts = sorted(
+                        _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}{i}"), None, False, mult)
+                        for i in range(3)
+                    )
+                    scal[f"throughput_{cores}"] = round(mult * n_docs / ts[1], 1)
+                    s.stop()
+                finally:
+                    if spinners:
+                        _stop_spinners(spinners)
+                        os.sched_setaffinity(0, range(CPUS))
             scal["efficiency"] = round(
                 scal["throughput_32"] / (4.0 * scal["throughput_8"]), 3
             )
-            # hw ceiling = same pure-Python kernel via multiprocessing, no
-            # Spark: on a real cluster 4N executors are 4x machines and this
-            # single-box ceiling (memory bus + turbo) does not apply; here it
-            # bounds any 8->32 measurement, so report efficiency vs it too.
             scal.update(hw)
+            # clamp: if the flaky mp measurement claims super-linear hw
+            # scaling, the raw number needs no normalization
             scal["efficiency_vs_hw_ceiling"] = round(
-                scal["efficiency"] / hw["hw_ceiling_efficiency"], 3
+                scal["efficiency"] / min(1.0, hw["hw_ceiling_efficiency"]), 3
             )
             result["scaling"] = scal
 

@@ -4,8 +4,12 @@ One place for the configs that matter at scale:
   * AQE on (runtime re-plan, skew-join splitting) — backstop for the
     relational joins; the extraction stage's skew is handled explicitly
     by salted repartitioning (plans/job.py).
-  * Arrow batch size tuned DOWN (rows carry multi-KB html blobs;
-    SURVEY §4 "batch amortization" row).
+  * Arrow batch size tuned for ~6-30 MB per batch: measured on the
+    bench corpus (1.6 KB/doc), 256-row batches halve 32-core extraction
+    throughput vs 4096 (33k vs 59k docs/s) — the per-batch JVM<->Python
+    round-trip dominates a fast kernel.  Rule: maxRecordsPerBatch ~=
+    target_batch_bytes / avg_row_bytes; for 100 KB crawl pages that is
+    ~256 rows, for this corpus ~4096.
   * shuffle partitions scaled with cores.
 """
 
@@ -22,7 +26,7 @@ def build_session(
     app: str = "cvocr_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 256,
+    arrow_batch_rows: int = 4096,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
