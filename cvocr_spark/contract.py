@@ -218,6 +218,10 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: windows.ordered_assembly(_t(s, d, "documents")),
         windows.ordered_assembly_sql(),
     )
+    c["tumbling_window_agg"] = (
+        lambda s, d: windows.tumbling_window_agg(_t(s, d, "events")),
+        windows.tumbling_window_agg_sql(),
+    )
 
     # text analysis (training-data pipeline extensions)
     c["token_stats"] = (
@@ -273,6 +277,18 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: similarity.lsh_ann_topk(_t(s, d, "embeddings")),
         similarity.lsh_ann_topk_sql(),
     )
+
+    def q_ann_numpy(s: SparkSession, d: str) -> DataFrame:
+        # numpy-matmul vectorized ANN (scale path).  Float summation
+        # order differs from the expression fold, so no value-hash
+        # oracle; recall vs the exact baseline is asserted in
+        # tests/test_ann.py (driver records the rows-only check).
+        from .operators.ann_numpy import cosine_topk_numpy
+
+        ensure_shipped(s)
+        return cosine_topk_numpy(_t(s, d, "embeddings"))
+
+    c["ann_numpy_topk"] = (q_ann_numpy, None)
 
     # multimodal plumbing (mapInPandas over binary payloads)
     c["multimodal_meta"] = (

@@ -154,6 +154,30 @@ def topk_per_group_sql(k: int = 3) -> str:
     """
 
 
+def tumbling_window_agg(events: DataFrame, minutes: int = 15) -> DataFrame:
+    """Time-bucketed aggregation (the streaming windowed-agg shape, run
+    on a batch frame): 15-minute tumbling windows per event_type."""
+    w = F.window("ts", f"{minutes} minutes")
+    return events.groupBy(w.alias("w"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("sum_milli"),
+    ).select(
+        F.col("w.start").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_milli",
+    )
+
+
+def tumbling_window_agg_sql(minutes: int = 15) -> str:
+    return f"""
+    SELECT time_bucket(INTERVAL '{minutes} minutes', ts) AS win_start,
+           event_type, count(*) AS n,
+           cast(sum(cast(round(value * 1000) as bigint)) as bigint) AS sum_milli
+    FROM events GROUP BY 1, 2
+    """
+
+
 def ordered_assembly(docs: DataFrame, prefix_len: int = 30) -> DataFrame:
     """W7 ordered text assembly (reco.py:246-265) as a relational op:
     per-lang doc_id-ordered concat.  collect_list alone is

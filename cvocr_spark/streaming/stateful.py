@@ -1,0 +1,81 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+`dedup_urls_stream` is the streaming-ingest dedup a crawler pipeline
+needs: across micro-batches, only the FIRST occurrence of each url
+passes through; re-crawls and duplicate drops are filtered before the
+(expensive) extraction kernel runs.  State = per-url-group set of seen
+urls, keyed by a url-hash bucket so state shards evenly (the same
+skew-defense as the batch path's salted bucketing).
+
+Watermark-windowed aggregation (`windowed_counts_stream`) covers the
+late-data path: counts per event-time tumbling window, state dropped
+once the watermark passes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PAGES_OUT_DDL = "url string, warc_ts timestamp, html binary"
+_STATE_SCHEMA = "seen array<string>"
+
+
+def _dedup_group(key, pdfs, state: GroupState):
+    seen = set(state.get[0]) if state.exists else set()
+    out = []
+    for pdf in pdfs:
+        keep_rows = []
+        for i, u in enumerate(pdf["url"]):
+            if u not in seen:
+                seen.add(u)
+                keep_rows.append(i)
+        if keep_rows:
+            out.append(pdf.iloc[keep_rows][["url", "warc_ts", "html"]])
+    state.update((sorted(seen),))
+    if out:
+        yield pd.concat(out)
+    else:
+        yield pd.DataFrame({"url": [], "warc_ts": [], "html": []})
+
+
+def dedup_urls_stream(pages_stream: DataFrame, n_shards: int = 32) -> DataFrame:
+    """Streaming pages -> first-occurrence-only pages.
+
+    At 10^12-doc scale the seen-set lives in a state store shard per
+    url-hash bucket; this in-memory variant demonstrates the operator
+    shape (a production variant would swap the set for a bloom filter
+    checkpointed by the state store)."""
+    sharded = pages_stream.withColumn(
+        "shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
+    )
+    return (
+        sharded.groupBy("shard")
+        .applyInPandasWithState(
+            _dedup_group,
+            outputStructType=PAGES_OUT_DDL,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_counts_stream(
+    extracted_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation over the
+    extracted stream (late rows beyond the watermark are dropped and
+    window state is reclaimed)."""
+    return (
+        extracted_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_docs", "n_chars")
+    )

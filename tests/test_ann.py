@@ -1,0 +1,44 @@
+"""ANN recall tests: the numpy-matmul scale path must return the same
+top-k neighbor SETS as the exact expression baseline (brute force =>
+recall 1.0 up to rounded-sim ties), and the LSH-bucketed variant must
+find each query itself."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvocr_spark.operators.ann_numpy import cosine_topk_numpy  # noqa: E402
+from cvocr_spark.operators.similarity import cosine_topk, lsh_ann_topk  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _topk_map(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["sim"], r["neighbor_id"]))
+    return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+
+def test_numpy_ann_matches_exact_baseline(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = _topk_map(cosine_topk(emb, n_queries=5, k=5).collect())
+    fast = _topk_map(cosine_topk_numpy(emb, n_queries=5, k=5).collect())
+    assert set(exact) == set(fast)
+    for q in exact:
+        # same similarity multiset to 5 dp (ranking ties at 6 dp may flip ids)
+        es = [round(s, 5) for s, _ in exact[q]]
+        fs = [round(s, 5) for s, _ in fast[q]]
+        assert es == fs, f"query {q}: {exact[q]} vs {fast[q]}"
+
+
+def test_lsh_ann_self_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = lsh_ann_topk(emb, n_queries=5, k=3).collect()
+    by_q = _topk_map(rows)
+    for q, hits in by_q.items():
+        assert any(n == q for _s, n in hits), f"query {q} must find itself"
+        assert max(s for s, _n in hits) == 1.0

@@ -118,6 +118,51 @@ def test_blocks_table_matches_kernel(spark, pages):
     sample.unpersist()
 
 
+def test_salted_repartition_balances_host_skew(spark):
+    """north_rule skew defense: a corpus where ONE host owns 60% of the
+    urls must still spread ~uniformly across partitions after the
+    salted repartition (host clustering must not pin executors)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    skewed = gen_pages_df(spark, docs).withColumn(
+        "url",
+        F.when(
+            F.rand(42) < 0.6,  # 60% of urls on one giant host
+            F.concat(F.lit("https://megahost.example.com/p/"), F.col("url")),
+        ).otherwise(F.col("url")),
+    )
+    from cvocr_spark.plans.job import extract_pages
+
+    parts = (
+        extract_pages(skewed, n_partitions=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in parts]
+    assert len(counts) == 16
+    mean = sum(counts) / len(counts)
+    assert max(counts) < 1.6 * mean, f"skewed partitions: {sorted(counts)}"
+
+
+def test_kernel_idempotent_on_own_output(spark):
+    """SURVEY §5 item 5: re-extracting the extracted text (wrapped as a
+    trivial page) reproduces it — the kernel is a projection."""
+    from cvocr_spark.kernel import extract
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in docs.limit(50).collect()]
+    for t in texts:
+        once = extract(f"<html><body><article><p>{t}</p></article></body></html>".encode())
+        twice = extract(
+            f"<html><body><article><p>{once.text}</p></article></body></html>".encode()
+        )
+        assert once.text.replace("\n", " ") == t
+        assert twice.text.replace("\n", " ") == once.text.replace("\n", " ")
+
+
 def test_prefilter_prunes_empty_html(spark):
     pdf = spark.createDataFrame(
         [("u1", None), ("u2", b"")],

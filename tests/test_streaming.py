@@ -16,6 +16,95 @@ from cvocr_spark.plans.job import extract_pages  # noqa: E402
 from cvocr_spark.streaming import extract_pages_stream  # noqa: E402
 
 
+def test_stateful_dedup_across_microbatches(spark):
+    import pyspark.sql.functions as F
+
+    from cvocr_spark.streaming import dedup_urls_stream
+
+    d = tempfile.mkdtemp(prefix="cvocr_dedup_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pages = gen_pages_df(spark, docs).select("url", "warc_ts", "html").cache()
+        n = pages.count()
+        in_dir, out_dir, ckpt = d + "/in", d + "/out", d + "/ckpt"
+        # drop 1: first 300 urls; drop 2: ALL urls (300 dups + 200 new)
+        pages.limit(300).write.mode("overwrite").parquet(in_dir)
+        pages.write.mode("append").parquet(in_dir)
+
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary"
+        ).option("maxFilesPerTrigger", 4).parquet(in_dir)
+        q = (
+            dedup_urls_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(out_dir)
+        # every url exactly once despite duplicate drops
+        assert out.count() == n
+        assert out.select("url").distinct().count() == n
+        assert out.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+        pages.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermarked_window_counts(spark):
+    from cvocr_spark.streaming import extract_pages_stream, windowed_counts_stream
+
+    d = tempfile.mkdtemp(prefix="cvocr_wm_")
+    try:
+        import pyspark.sql.functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        # spread warc_ts across 10 hours so the 2h watermark CLOSES most
+        # 1h windows (append mode only emits closed windows)
+        pages = gen_pages_df(spark, docs).withColumn(
+            "warc_ts",
+            F.col("warc_ts")
+            + F.expr("make_interval(0, 0, 0, 0, cast(pmod(xxhash64(url), 10) as int), 0, 0)"),
+        )
+        in_dir, ckpt = d + "/in", d + "/ckpt"
+        pages.repartition(10).write.mode("overwrite").parquet(in_dir)
+
+        agg = windowed_counts_stream(extract_pages_stream(spark, in_dir))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wm_counts")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["win_start"]: (r["n_docs"], r["n_chars"])
+            for r in spark.sql("select * from wm_counts").collect()
+        }
+        # batch reference: same windows over the batch-extracted frame
+        ref = {
+            r["win_start"]: (r["n_docs"], r["n_chars"])
+            for r in extract_pages(spark.read.parquet(in_dir), salted=False)
+            .groupBy(F.window("warc_ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("n_chars"))
+            .select(F.col("w.start").alias("win_start"), "n_docs", "n_chars")
+            .collect()
+        }
+        # append-mode emits only watermark-closed windows: every emitted
+        # window must match the batch reference, and most windows close
+        # (warc_ts spans ~500s per FIXTURES, all within a couple windows)
+        assert got, "no windows emitted"
+        for k, v in got.items():
+            assert ref[k] == v
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_matches_batch(spark):
     d = tempfile.mkdtemp(prefix="cvocr_stream_")
     try:
