@@ -188,6 +188,20 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: relational.equi_join_agg(_t(s, d, "orders"), _t(s, d, "customer")),
         relational.EQUI_JOIN_AGG_SQL,
     )
+    from .operators import asof
+
+    c["asof_join_marks"] = (
+        lambda s, d: asof.asof_join_marks(_t(s, d, "events")),
+        asof.asof_join_marks_sql(),
+    )
+    c["big_join_smj"] = (
+        lambda s, d: asof.big_join_smj(_t(s, d, "lineitem"), _t(s, d, "orders")),
+        asof.BIG_JOIN_SMJ_SQL,
+    )
+    c["anti_join"] = (
+        lambda s, d: asof.anti_join_customers(_t(s, d, "customer"), _t(s, d, "orders")),
+        asof.ANTI_JOIN_SQL,
+    )
     c["rollup_counts"] = (
         lambda s, d: relational.rollup_counts(_t(s, d, "documents")),
         relational.ROLLUP_COUNTS_SQL,
