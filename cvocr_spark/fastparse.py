@@ -173,24 +173,24 @@ class FastSegmenter:
             if m is None:
                 self._data(doc[pos:])
                 break
-            if m.start() > pos:
-                self._data(doc[pos : m.start()])
+            start = m.start()
+            if start > pos:
+                self._data(doc[pos:start])
             pos = m.end()
-            name = m.group(2)
+            closing, name, attrs, selfclose = m.group(1, 2, 3, 4)
             if name is None:
                 continue  # comment / doctype / CDATA: stripped (P1)
             tag = name.lower()
-            if m.group(1):  # end tag
+            if closing:  # end tag
                 self._end(tag)
                 continue
-            attrs = m.group(3)
             hidden = False
             if attrs:
                 al = attrs.lower()
                 if "hidden" in al or "display" in al or "visibility" in al:
                     hidden = _is_hidden(al)
             self._start(tag, hidden)
-            if m.group(4):  # self-closing: <x/> == start+end (HTMLParser parity)
+            if selfclose:  # self-closing: <x/> == start+end (HTMLParser parity)
                 self._end(tag)
             elif tag in _RAWTEXT:
                 # rawtext: skip straight to the literal close tag

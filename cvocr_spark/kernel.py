@@ -465,7 +465,9 @@ def _neighbor_relabel(blocks: list[Block], cfg: KernelConfig) -> None:
             continue
         prev_c = i > 0 and blocks[i - 1].cls == "content"
         next_c = i + 1 < len(blocks) and blocks[i + 1].cls == "content"
-        if (prev_c or next_c) and b.link_density == 0.0:
+        # min-substance guard: a 4-char table cell next to prose is not
+        # content (the thin/flat-shape precondition of cut.h:764)
+        if (prev_c or next_c) and b.link_density == 0.0 and b.n_chars >= 10:
             b.cls = "content"
             promos += 1
 
@@ -488,8 +490,14 @@ def _run_length_promote(blocks: list[Block], cfg: KernelConfig) -> None:
         ):
             j += 1
         if j - i >= cfg.min_run:
-            for k in range(i, j):
-                blocks[k].cls = "content"
+            total = sum(blocks[k].n_chars for k in range(i, j))
+            mean = total / (j - i)
+            # substance guards (the similar-and-short / digit-run refusal
+            # of cut.h:468-472): a run of table cells or menu stubs has
+            # high count but tiny mean length — not content
+            if total >= cfg.loose_content_chars and mean >= cfg.short_chars:
+                for k in range(i, j):
+                    blocks[k].cls = "content"
         i = j
 
 
@@ -585,6 +593,16 @@ def extract(html: bytes | str | None, cfg: KernelConfig = DEFAULT_CONFIG) -> Ext
         html = html.encode("utf-8", "replace")
     if not html:
         res.flags = "empty"
+        return res
+    # content-type sniff: non-HTML payloads short-circuit before parsing.
+    # PDF/layout parse is a dispatch seam like the reference's recognizer
+    # dispatch (reco.py:94-148): route by magic, stub what the container
+    # lacks libraries for (a real deployment plugs pdfminer/mupdf here).
+    if html[:5] == b"%PDF-":
+        res.flags = "pdf_unsupported"
+        return res
+    if html[:2] in (b"\x1f\x8b", b"PK"):  # gzip / zip containers
+        res.flags = "binary_container"
         return res
     try:
         doc, flags = decode_html(html, cfg)

@@ -115,11 +115,24 @@ def test_short_block_between_content_promoted():
     assert "tiny but ok" in r.text
 
 
-def test_run_of_three_short_blocks_promoted():
-    # three consecutive short link-free blocks (each < short_chars): W3 run rule
-    body = f"<p>{LONG}</p>" + "".join(f"<p>run {i} ok</p>" for i in range(3))
+def test_run_of_three_substantive_blocks_promoted():
+    # three consecutive link-free fragments with substance (total >= 80,
+    # mean >= 15): W3 run rule promotes the island (cut.h:824)
+    frags = [f"sentence fragment number {i} here" for i in range(3)]
+    nav = '<div><a href="/a">one two three four five six</a> x</div>'
+    body = nav + "".join(f"<p>{f}</p>" for f in frags) + nav
     r = extract(_page(body))
-    assert "run 0 ok" in r.text and "run 2 ok" in r.text
+    for f in frags:
+        assert f in r.text
+
+
+def test_run_of_tiny_stubs_refused():
+    # a run of table-cell-sized stubs fails the substance guards
+    # (similar-and-short refusal, cut.h:468-472)
+    nav = '<div><a href="/a">one two three four five six</a> x</div>'
+    body = nav + "".join(f"<p>c{i}</p>" for i in range(5)) + nav
+    r = extract(_page(body))
+    assert r.text == ""
 
 
 def test_isolated_short_block_dropped():
