@@ -40,10 +40,14 @@ HEADLINE = [
     "gaps_islands_rle",
     "sessionize",
     "equi_join_agg",
+    "big_join_smj",
+    "asof_join_marks",
+    "tumbling_window_agg",
     "histogram_topk",
     "dedup_exact",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "ann_numpy_topk",
     "token_stats",
 ]
 

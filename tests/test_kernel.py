@@ -50,6 +50,30 @@ def test_decode_bad_charset_falls_back():
     assert "hello" in text and "bad_charset" in flags
 
 
+def test_decode_latin1_meta_roundtrip():
+    body = "caf\xe9 r\xe9sum\xe9 words to make this block long enough to pass the rule"
+    raw = (
+        '<html><head><meta charset="iso-8859-1"></head><body><p>'
+        + body
+        + "</p></body></html>"
+    ).encode("iso-8859-1")
+    r = extract(raw)
+    assert r.text == body
+
+
+def test_decode_utf16_bom_roundtrip():
+    body = "unicode text with enough characters to clearly pass the content rule"
+    raw = ("<html><body><p>" + body + "</p></body></html>").encode("utf-16")  # BOM'd
+    r = extract(raw)
+    assert r.text == body
+
+
+def test_decode_pdf_and_containers_flagged():
+    assert extract(b"%PDF-1.7 blah").flags == "pdf_unsupported"
+    assert extract(b"\x1f\x8b\x08gzip").flags == "binary_container"
+    assert extract(b"PK\x03\x04zip").flags == "binary_container"
+
+
 def test_decode_truncates_giant_pages():
     raw = b"<p>" + b"x" * (DEFAULT_CONFIG.max_html_bytes + 100)
     text, flags = decode_html(raw)
