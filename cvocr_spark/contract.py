@@ -164,6 +164,10 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: scalar_fns.cube_counts(_t(s, d, "documents")),
         scalar_fns.CUBE_COUNTS_SQL,
     )
+    c["json_map_ops"] = (
+        lambda s, d: scalar_fns.json_map_ops(_t(s, d, "events")),
+        scalar_fns.JSON_MAP_OPS_SQL,
+    )
 
     # aggregations (SURVEY §2d)
     c["filtered_mean"] = (

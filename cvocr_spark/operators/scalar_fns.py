@@ -85,6 +85,40 @@ FROM e GROUP BY vec_id
 """
 
 
+def json_map_ops(events: DataFrame) -> DataFrame:
+    """JSON + map-type coverage (SURVEY §2g array/map/json row): parse
+    the props JSON column with an explicit schema (never inferred),
+    round-trip a value through a MapType column, aggregate."""
+    k = F.from_json("props", "k bigint")["k"]
+    m = F.create_map(F.lit("k"), k, F.lit("k2"), k * 2)
+    parsed = events.select(
+        "event_type",
+        k.alias("k"),
+        F.element_at(m, "k2").alias("k2"),  # map round-trip
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k2").alias("sum_k2"),
+    )
+
+
+JSON_MAP_OPS_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         cast(json_extract(props, '$.k') as bigint) AS k,
+         MAP(['k', 'k2'], [cast(json_extract(props, '$.k') as bigint),
+                           cast(json_extract(props, '$.k') as bigint) * 2])['k2'][1] AS k2
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       cast(sum(k) as bigint) AS sum_k, max(k) AS max_k,
+       cast(sum(k2) as bigint) AS sum_k2
+FROM parsed GROUP BY event_type
+"""
+
+
 def cube_counts(docs: DataFrame) -> DataFrame:
     """CUBE grouping sets (SURVEY §2g grouping-sets row)."""
     return docs.cube("lang", "source").agg(
