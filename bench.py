@@ -33,6 +33,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 VARIANTS = int(os.environ.get("CVOCR_BENCH_VARIANTS", "40"))
 DO_SCALING = os.environ.get("CVOCR_BENCH_SCALING", "1") != "0"
 SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+BUDGET_S = float(os.environ.get("CVOCR_BENCH_BUDGET_S", "480"))
+_T_START = time.perf_counter()
 
 HEADLINE = [
     "conditional_counts",
@@ -224,7 +226,13 @@ def main() -> None:
         }
         spark.stop()
 
-        if DO_SCALING:
+        if DO_SCALING and time.perf_counter() - _T_START > BUDGET_S * 0.5:
+            # not enough budget left for the full two-level protocol —
+            # emit the JSON without a scaling block rather than risk the
+            # whole bench being killed mid-run (committed numbers live in
+            # BENCH/BASELINE.md)
+            result["scaling_skipped"] = "time budget"
+        elif DO_SCALING:
             # ISO-FREQUENCY protocol (see BENCH/BASELINE.md): the N-core
             # level is measured with the bench process (and hence the JVM
             # + python workers) affinity-pinned to N cores while spinner
