@@ -123,7 +123,7 @@ class FastSegmenter:
 
     def _start(self, tag: str, hidden: bool) -> None:
         if tag == "br":
-            self._parts.append("\n")
+            self._parts.append("\n\n")  # blank-line sentinel (P7 separator)
             return
         if tag in _VOID_TAGS:
             if self.skip_depth == 0:

@@ -263,7 +263,9 @@ class _Segmenter(HTMLParser):
                 hidden = True
         if tag == "br":
             # P7 separator: a <br> inside a block is a soft split point
-            self._parts.append("\n")
+            # (blank-line sentinel; single source newlines are mere
+            # whitespace and must NOT split — HTML semantics)
+            self._parts.append("\n\n")
             return
         if tag in _VOID_TAGS:
             if self.skip_depth == 0:
@@ -329,7 +331,9 @@ class _Segmenter(HTMLParser):
 
 
 _WS_RE = re.compile(r"\s+")
-_BLANKLINE_RE = re.compile(r"\n\s*\n|\n")
+# split only at blank-line runs (zero-ink-run analogue, cut.h:234-245);
+# a single newline is pretty-printing whitespace, not a separator
+_BLANKLINE_RE = re.compile(r"\n[ \t]*\n\s*")
 
 
 def _normalize(s: str) -> str:

@@ -169,6 +169,27 @@ def test_isolated_short_block_dropped():
 # -- P8 bounded re-split ------------------------------------------------------
 
 
+def test_pretty_printed_paragraph_stays_one_block():
+    # single source newlines are whitespace, not separators (P7)
+    html = b"<p>line one of the paragraph\nline two of the paragraph\nline three here</p>"
+    r = extract(b"<html><body>" + html + b"</body></html>")
+    assert r.text == (
+        "line one of the paragraph line two of the paragraph line three here"
+    )
+    assert len(r.spans) == 1
+
+
+def test_br_splits_block():
+    html = b"<p>first part of text long enough here<br>second part of text long enough too</p>"
+    r = extract(b"<html><body>" + html + b"</body></html>")
+    assert "first part of text long enough here" in r.text
+    assert "second part of text long enough too" in r.text
+    # two segments (possibly re-fused with ' '): reconstruction intact
+    assert r.text.replace("\n", " ") == (
+        "first part of text long enough here second part of text long enough too"
+    )
+
+
 def test_resplit_bounded_and_lossless():
     words = " ".join(f"w{i}" for i in range(600))  # ~3000 chars, > resplit floor
     r = extract(_page(f"<p>{words}</p>"))
