@@ -211,6 +211,31 @@ def test_span_invariant():
 # -- robustness ---------------------------------------------------------------
 
 
+def test_giant_page_capped_and_bounded():
+    # a 4 MB page truncates at the 2 MB cap, flags it, and still
+    # extracts from the retained prefix in bounded time
+    import time
+
+    body = ("<p>" + "word " * 200 + "</p>") * 4000  # ~4.1 MB
+    raw = ("<html><body>" + body + "</body></html>").encode()
+    assert len(raw) > DEFAULT_CONFIG.max_html_bytes
+    t0 = time.perf_counter()
+    r = extract(raw)
+    dt = time.perf_counter() - t0
+    assert "truncated" in r.flags
+    assert len(r.text) > 0
+    assert dt < 5.0, f"giant page took {dt:.1f}s"
+
+
+def test_corpus_keep_score_sane():
+    # on the fixture corpus the kernel should keep the majority of page
+    # text chars (content dominates the generated boilerplate)
+    pages = gen_pages_table("/root/testdata/sf0.001/documents.parquet")
+    scores = [extract(pages.column("html")[i].as_py()).score for i in range(100)]
+    assert min(scores) > 0.1
+    assert sum(scores) / len(scores) > 0.5
+
+
 def test_malformed_html_never_raises():
     cases = [
         b"<p>unclosed <b>bold <p>next",
