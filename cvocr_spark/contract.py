@@ -169,6 +169,22 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         scalar_fns.JSON_MAP_OPS_SQL,
     )
 
+    # temporal / sketch custom operators
+    from .operators import temporal
+
+    c["range_join_events"] = (
+        lambda s, d: temporal.range_join_events(_t(s, d, "events")),
+        temporal.range_join_events_sql(),
+    )
+    c["rollup_cascade"] = (
+        lambda s, d: temporal.rollup_cascade(_t(s, d, "events")),
+        temporal.ROLLUP_CASCADE_SQL,
+    )
+    c["kmv_distinct_sketch"] = (
+        lambda s, d: temporal.kmv_distinct_sketch(_t(s, d, "events")),
+        temporal.kmv_distinct_sketch_sql(),
+    )
+
     # aggregations (SURVEY §2d)
     c["filtered_mean"] = (
         lambda s, d: relational.filtered_mean(_t(s, d, "documents")),

@@ -1,0 +1,173 @@
+"""Temporal/sketch custom operators — the remaining custom-operator
+archetypes from the task brief (range join, hypertable rollup, novel
+sketch), each composed from built-in DataFrame ops with an exact DuckDB
+oracle.
+
+range_join_events — pairs of events of the same user within a time
+  window.  A naive theta-join is O(n^2) per user (BroadcastNestedLoop
+  in Spark); the scale technique is COARSE BINNING: join on
+  (user_id, bin) with each left row duplicated into its neighbor bin,
+  then filter the precise range.  Equi-join + filter => sort-merge /
+  hash strategies apply, no cross product.  The oracle states the same
+  semantics as a direct range predicate.
+
+rollup_cascade — hypertable-style continuous aggregate: the 1-hour
+  level is re-aggregated FROM the 15-minute level, never from raw rows
+  (counts and quantized sums recompose losslessly).  The oracle
+  aggregates 1-hour straight from raw — equality proves the cascade is
+  exact, which is the invariant that makes multi-resolution rollups
+  safe at 10^12 rows.
+
+kmv_distinct_sketch — k-minimum-values distinct-count sketch.  Chosen
+  over HLL because engines' HLLs are implementation-defined, while KMV
+  over the shared md5-based hash space is bit-reproducible in BOTH
+  engines: estimate = (k-1) * 2^60 / kth_smallest_hash.  The relative
+  error vs the exact count is also emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+
+def range_join_events(events: DataFrame, window_s: int = 60) -> DataFrame:
+    """Per user: count ordered pairs (a, b) with a.event_id < b.event_id
+    and |ts diff| <= window_s, via coarse-bin equi-join."""
+    binned = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.unix_timestamp("ts") / window_s).cast("bigint").alias("bin"),
+    )
+    # left side explodes into its own and neighbor bins => every
+    # within-window pair shares an equi-join key exactly once
+    a = binned.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin"),
+    )
+    b = binned.select(
+        "user_id", F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"), "bin"
+    )
+    pairs = a.join(b, ["user_id", "bin"]).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (
+            F.abs(F.unix_timestamp("a_ts") - F.unix_timestamp("b_ts"))
+            <= window_s
+        )
+    )
+    # a pair can share up to one bin key only when b.bin in {a.bin-1, a.bin, a.bin+1};
+    # the explode covers each such pair exactly once per (a-bin-copy == b.bin)
+    return (
+        pairs.select("user_id", "a_id", "b_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def range_join_events_sql(window_s: int = 60) -> str:
+    return f"""
+    WITH pairs AS (
+      SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_id < b.event_id
+       AND abs(epoch(a.ts) - epoch(b.ts)) <= {window_s}
+    )
+    SELECT user_id, count(*) AS n_pairs FROM pairs GROUP BY user_id
+    """
+
+
+def rollup_cascade(events: DataFrame) -> DataFrame:
+    """15-min aggregates -> re-aggregated 1-hour level (never from raw)."""
+    z = F.round(F.col("value") * 1000).cast("bigint")
+    fine = events.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum(z).alias("sum_milli"))
+    # cascade: hour level derives from the 15-min level
+    return (
+        fine.groupBy(
+            F.window(F.col("w.start"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_milli").alias("sum_milli"),
+        )
+        .select(F.col("h.start").alias("hour_start"), "event_type", "n", "sum_milli")
+    )
+
+
+ROLLUP_CASCADE_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+       count(*) AS n,
+       cast(sum(cast(round(value * 1000) as bigint)) as bigint) AS sum_milli
+FROM events GROUP BY 1, 2
+"""
+
+
+KMV_K = 64
+
+
+def kmv_distinct_sketch(events: DataFrame) -> DataFrame:
+    """KMV distinct-user estimate per event_type + exact + rel error."""
+    h = F.expr(P.hash60_spark("cast(user_id as string)", "kmv"))
+    hashed = events.select("event_type", F.col("user_id"), h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    kth = (
+        ranked.filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth"))
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = F.round((KMV_K - 1) * F.lit(float(2**60)) / F.col("kth").cast("double"), 2)
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_users",
+            F.coalesce(est, F.col("exact_users").cast("double")).alias("kmv_estimate"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("kmv_estimate") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
+        )
+    )
+
+
+def kmv_distinct_sketch_sql() -> str:
+    h = P.hash60_duck("cast(user_id as varchar)", "kmv")
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, user_id, {h} AS h FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ), kth AS (
+      SELECT event_type, h AS kth FROM ranked WHERE rn = {KMV_K}
+    ), exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1
+    )
+    SELECT exact.event_type, exact.exact_users,
+           coalesce(round(({KMV_K} - 1) * cast({float(2**60)!r} as double)
+                          / cast(kth as double), 2),
+                    cast(exact_users as double)) AS kmv_estimate,
+           round(abs(coalesce(round(({KMV_K} - 1) * cast({float(2**60)!r} as double)
+                                    / cast(kth as double), 2),
+                              cast(exact_users as double)) - exact_users)
+                 / exact_users, 4) AS rel_err
+    FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type
+    """
