@@ -229,6 +229,7 @@ class _Segmenter(HTMLParser):
         self._raw_chars = 0
         self._n_tags = 0
         self._cur_tag = "body"
+        self._skip_marks: list[int] = []
 
     # -- block flushing ----------------------------------------------------
     def _flush(self) -> None:
@@ -278,7 +279,6 @@ class _Segmenter(HTMLParser):
         if tag in _SKIP_TAGS or hidden:
             self.skip_depth += 1
             # remember where the skip started so endtag can unwind it
-            self._skip_marks = getattr(self, "_skip_marks", [])
             self._skip_marks.append(len(self.stack))
         elif self.skip_depth == 0:
             self._n_tags += 1
@@ -296,7 +296,7 @@ class _Segmenter(HTMLParser):
         # pop lazily up to and including `tag`
         while self.stack:
             popped = self.stack.pop()
-            marks = getattr(self, "_skip_marks", [])
+            marks = self._skip_marks
             if marks and marks[-1] == len(self.stack) + 1:
                 marks.pop()
                 self.skip_depth = max(0, self.skip_depth - 1)

@@ -20,9 +20,11 @@ def main() -> None:
     inp, out = sys.argv[1], sys.argv[2]
     n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
 
+    from cvocr_spark.session import ensure_shipped
     from cvocr_spark.sources.tableio import run_extraction
 
     spark = SparkSession.builder.appName("cvocr-extract").getOrCreate()
+    ensure_shipped(spark)  # no-op redundancy when --py-files already did it
     pages = spark.read.parquet(inp)
     stats = run_extraction(spark, pages, out, n_buckets=n_buckets)
     print(stats)
