@@ -329,4 +329,13 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: multimodal.media_metadata(_t(s, d, "documents")),
         multimodal.MEDIA_METADATA_SQL,
     )
+    c["multimodal_frames"] = (
+        lambda s, d: multimodal.frame_sample(_t(s, d, "documents")),
+        multimodal.frame_sample_sql(),
+    )
+    c["multimodal_resize"] = (
+        lambda s, d: multimodal.resize_images(_t(s, d, "documents")),
+        None,  # thumbnail bytes trivially SQL-able but the op is the
+        # mapInPandas plumbing; resize dims verified in tests
+    )
     return c

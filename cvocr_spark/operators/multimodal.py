@@ -72,3 +72,86 @@ SELECT doc_id,
        md5(text) AS content_md5
 FROM documents
 """
+
+
+# -- resize / frame-sample stubs (brief: image/audio/video as opaque
+# binary + typed metadata; decode stubbed, plumbing real) -------------------
+
+RESIZED_DDL = "doc_id bigint, out_w int, out_h int, thumb binary"
+
+
+def resize_stub(blob: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """STUB resize.  Real impl: PIL thumbnail.  Deterministic fake:
+    scaled dims from the fake decode + a content-derived 'thumbnail'
+    (first 64 bytes) so downstream schema/partitioning is exercised
+    with real binary payloads."""
+    meta = decode_stub(blob)
+    w, h = meta["fake_width"], meta["fake_height"]
+    scale = min(1.0, max_side / max(w, h))
+    return max(1, int(w * scale)), max(1, int(h * scale)), blob[:64]
+
+
+def resize_images(docs: DataFrame, max_side: int = 128) -> DataFrame:
+    """binary column -> resized thumbnail column via mapInPandas."""
+
+    def _run(batches):
+        for pdf in batches:
+            blobs = pdf["text"].map(lambda t: t.encode("utf-8"))
+            dims = blobs.map(lambda b: resize_stub(b, max_side))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": dims.map(lambda d: d[0]).astype("int32"),
+                    "out_h": dims.map(lambda d: d[1]).astype("int32"),
+                    "thumb": dims.map(lambda d: d[2]),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(_run, schema=RESIZED_DDL)
+
+
+FRAMES_DDL = "doc_id bigint, frame_idx int, frame binary"
+
+
+def frame_sample(docs: DataFrame, every_n: int = 3, max_frames: int = 4) -> DataFrame:
+    """video-blob -> sampled frames (1 row per frame): the doc->frames
+    UDTF shape.  STUB: 'frames' are deterministic 32-byte slices at
+    every_n strides; a real impl swaps in ffmpeg keyframe extraction."""
+
+    def _run(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                blob = t.encode("utf-8")
+                for i in range(max_frames):
+                    off = i * every_n * 32
+                    if off >= len(blob):
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(blob[off : off + 32])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(_run, schema=FRAMES_DDL)
+
+
+def frame_sample_sql(every_n: int = 3, max_frames: int = 4) -> str:
+    """DuckDB oracle for the frame-sample stub: same slices via range."""
+    # DuckDB substring() has no BLOB overload; the corpus text is ascii
+    # (byte == char), so slice the string and encode the slice
+    return f"""
+    WITH f AS (
+      SELECT doc_id, unnest(range({max_frames})) AS frame_idx, text
+      FROM documents
+    )
+    SELECT doc_id, cast(frame_idx as int) AS frame_idx,
+           encode(substring(text, cast(frame_idx * {every_n} * 32 + 1 as int), 32)) AS frame
+    FROM f
+    WHERE frame_idx * {every_n} * 32 < octet_length(encode(text))
+    """
