@@ -330,7 +330,7 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         multimodal.MEDIA_METADATA_SQL,
     )
     c["multimodal_frames"] = (
-        lambda s, d: multimodal.frame_sample(_t(s, d, "documents")),
+        lambda s, d: multimodal.frame_sample_digest(_t(s, d, "documents")),
         multimodal.frame_sample_sql(),
     )
     c["multimodal_resize"] = (

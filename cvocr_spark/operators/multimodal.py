@@ -141,17 +141,35 @@ def frame_sample(docs: DataFrame, every_n: int = 3, max_frames: int = 4) -> Data
     return docs.select("doc_id", "text").mapInPandas(_run, schema=FRAMES_DDL)
 
 
+def frame_sample_digest(docs: DataFrame, every_n: int = 3, max_frames: int = 4) -> DataFrame:
+    """Oracle-facing wrapper: the binary frames flow through mapInPandas
+    (the real plumbing under test), then are digested to md5 + length —
+    raw BINARY in a compared result would hash engine-dependently
+    (Spark rows yield bytearray, DuckDB bytes)."""
+    from pyspark.sql import functions as F
+
+    frames = frame_sample(docs, every_n, max_frames)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("int").alias("frame_bytes"),
+    )
+
+
 def frame_sample_sql(every_n: int = 3, max_frames: int = 4) -> str:
-    """DuckDB oracle for the frame-sample stub: same slices via range."""
-    # DuckDB substring() has no BLOB overload; the corpus text is ascii
-    # (byte == char), so slice the string and encode the slice
+    """DuckDB oracle for the frame-sample stub: same slices via range.
+    DuckDB's md5/substring are VARCHAR-only; the corpus text is ascii
+    (byte == char), so string slices hash the same utf-8 bytes Spark's
+    binary md5 sees."""
     return f"""
     WITH f AS (
       SELECT doc_id, unnest(range({max_frames})) AS frame_idx, text
       FROM documents
     )
     SELECT doc_id, cast(frame_idx as int) AS frame_idx,
-           encode(substring(text, cast(frame_idx * {every_n} * 32 + 1 as int), 32)) AS frame
+           md5(substring(text, cast(frame_idx * {every_n} * 32 + 1 as int), 32)) AS frame_md5,
+           cast(octet_length(encode(substring(text, cast(frame_idx * {every_n} * 32 + 1 as int), 32))) as int) AS frame_bytes
     FROM f
     WHERE frame_idx * {every_n} * 32 < octet_length(encode(text))
     """
