@@ -146,7 +146,7 @@ def _stop_spinners(procs):
         p.join(timeout=5)
 
 
-def _hw_ceiling(procs_levels=((8, 2), (32, 1))) -> dict:
+def _hw_ceiling(procs_levels=((8, 3), (32, 2))) -> dict:
     """Pure-Python kernel via multiprocessing: the box's parallel
     ceiling, independent of Spark.  Iso-frequency protocol: the 8-proc
     level is measured with the other 24 cores loaded by spinners, so
