@@ -55,12 +55,15 @@ def range_join_events(events: DataFrame, window_s: int = 60) -> DataFrame:
     b = binned.select(
         "user_id", F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"), "bin"
     )
+    # microsecond-exact two-sided bound (no interval abs()): a
+    # seconds-truncated diff would disagree with DuckDB's fractional
+    # epoch at straddling gaps — same bug class the sessionize property
+    # sweep caught
+    gap = F.expr(f"INTERVAL {window_s} SECONDS")
     pairs = a.join(b, ["user_id", "bin"]).filter(
         (F.col("a_id") < F.col("b_id"))
-        & (
-            F.abs(F.unix_timestamp("a_ts") - F.unix_timestamp("b_ts"))
-            <= window_s
-        )
+        & (F.col("a_ts") - F.col("b_ts") <= gap)
+        & (F.col("b_ts") - F.col("a_ts") <= gap)
     )
     # a pair can share up to one bin key only when b.bin in {a.bin-1, a.bin, a.bin+1};
     # the explode covers each such pair exactly once per (a-bin-copy == b.bin)
@@ -79,7 +82,8 @@ def range_join_events_sql(window_s: int = 60) -> str:
       FROM events a JOIN events b
         ON a.user_id = b.user_id
        AND a.event_id < b.event_id
-       AND abs(epoch(a.ts) - epoch(b.ts)) <= {window_s}
+       AND a.ts - b.ts <= INTERVAL {window_s} SECOND
+       AND b.ts - a.ts <= INTERVAL {window_s} SECOND
     )
     SELECT user_id, count(*) AS n_pairs FROM pairs GROUP BY user_id
     """

@@ -92,11 +92,16 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     the previous event exceeds gap_s (the graft of fusion's
     gap >= MIN_MARGIN refusal, cut.h:458)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap test via interval comparison: unix_timestamp
+    # truncates to whole seconds (and DuckDB's epoch() does not), so a
+    # seconds-diff comparison disagrees across engines for gaps whose
+    # fractional part straddles the threshold
+    gap = F.expr(f"INTERVAL {gap_s} SECONDS")
     flagged = events.withColumn(
         "new_sess",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_s),
+            | (F.col("ts") - F.lag("ts").over(w) > gap),
             1,
         ).otherwise(0),
     ).withColumn("sess", F.sum("new_sess").over(w))
@@ -113,7 +118,7 @@ def sessionize_sql(gap_s: int = 1800) -> str:
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_s}
+                       OR ts - lag(ts) OVER w > INTERVAL {gap_s} SECOND
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
