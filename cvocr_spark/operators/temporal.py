@@ -109,7 +109,8 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
 
 
 ROLLUP_CASCADE_SQL = """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+SELECT time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01') AS hour_start,
+       event_type,
        count(*) AS n,
        cast(sum(cast(round(value * 1000) as bigint)) as bigint) AS sum_milli
 FROM events GROUP BY 1, 2

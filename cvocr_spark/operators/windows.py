@@ -162,7 +162,7 @@ def topk_per_group_sql(k: int = 3) -> str:
 def tumbling_window_agg(events: DataFrame, minutes: int = 15) -> DataFrame:
     """Time-bucketed aggregation (the streaming windowed-agg shape, run
     on a batch frame): 15-minute tumbling windows per event_type."""
-    w = F.window("ts", f"{minutes} minutes")
+    w = F.window("ts", f"{minutes} minutes")  # epoch-aligned tumbling
     return events.groupBy(w.alias("w"), "event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("sum_milli"),
@@ -175,8 +175,12 @@ def tumbling_window_agg(events: DataFrame, minutes: int = 15) -> DataFrame:
 
 
 def tumbling_window_agg_sql(minutes: int = 15) -> str:
+    # explicit 1970 origin: DuckDB's time_bucket defaults to a 2000-01-01
+    # origin, which only coincides with Spark's epoch-aligned windows for
+    # day-dividing widths (15 min passes, 7 min silently would not)
     return f"""
-    SELECT time_bucket(INTERVAL '{minutes} minutes', ts) AS win_start,
+    SELECT time_bucket(INTERVAL '{minutes} minutes', ts,
+                       TIMESTAMP '1970-01-01') AS win_start,
            event_type, count(*) AS n,
            cast(sum(cast(round(value * 1000) as bigint)) as bigint) AS sum_milli
     FROM events GROUP BY 1, 2

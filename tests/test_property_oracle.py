@@ -86,6 +86,24 @@ def test_gaps_islands_any_run(spark, duck, min_run):
 
 
 @settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=1, max_value=90))
+def test_tumbling_window_any_width(spark, duck, minutes):
+    # includes non-day-dividing widths (7, 13, ...): catches window
+    # origin-alignment divergence between engines
+    from cvocr_spark.operators.windows import (
+        tumbling_window_agg,
+        tumbling_window_agg_sql,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    _cmp(
+        tumbling_window_agg(ev, minutes=minutes),
+        duck,
+        tumbling_window_agg_sql(minutes=minutes),
+    )
+
+
+@settings(max_examples=6, deadline=None)
 @given(st.integers(min_value=30, max_value=600))
 def test_range_join_any_window(spark, duck, window_s):
     from cvocr_spark.operators.temporal import (
