@@ -125,15 +125,46 @@ def build_page(
     parts.append("</header>\n")
     parts.append(f"<!-- rendered page {doc_id} -->\n")
     parts.append("<main>\n<article>\n")
+    if rng.random() < 0.1:  # hidden cookie banner: stripped by P1
+        parts.append(
+            '<div style="display:none">we use cookies accept or decline</div>\n'
+        )
+    in_list = False
     for i, c in enumerate(chunks):
         if i > 0 and rng.random() < 0.15:
+            if in_list:
+                parts.append("</ul>\n")
+                in_list = False
             parts.append(_ad_div(rng) + "\n")
         if i > 0 and rng.random() < 0.05:
             parts.append(f"<!-- section {i} -->\n")
-        tag = "p" if rng.random() < 0.9 else "blockquote"
+        if i > 0 and not in_list and rng.random() < 0.04:
+            # tiny noise heading (<10 chars: below the W2 promotion
+            # floor, so it classifies boilerplate and drops)
+            parts.append(f"<h3>part {i % 9}</h3>\n")
+        if i > 0 and not in_list and rng.random() < 0.06:
+            # "related" box: link-dense by construction => boilerplate
+            parts.append(
+                '<div class="rel">see <a href="/r1">more stories here</a> '
+                f'and <a href="/r2">{rng.choice(_NAV_WORDS)} news</a></div>\n'
+            )
+        r = rng.random()
+        if in_list:
+            if r < 0.6:
+                parts.append(f"<li>{c}</li>\n")
+                continue
+            parts.append("</ul>\n")
+            in_list = False
+        if r >= 0.85 and i + 1 < len(chunks):  # content list: li chunks
+            parts.append(f"<ul>\n<li>{c}</li>\n")
+            in_list = True
+            continue
+        tag = "p" if r < 0.75 else "blockquote"
         # seeded pretty-printing whitespace inside the tag (collapsed by P6)
         pad = "\n  " if rng.random() < 0.2 else ""
         parts.append(f"<{tag}>{pad}{c}{pad}</{tag}>\n")
+    if in_list:
+        parts.append("</ul>\n")
     parts.append("</article>\n</main>\n")
     parts.append("<aside>\n")
     parts.append(f"<h3>related</h3><ul>{_nav_links(rng, rng.randint(3, 8))}</ul>\n")
