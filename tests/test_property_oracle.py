@@ -86,6 +86,31 @@ def test_gaps_islands_any_run(spark, duck, min_run):
 
 
 @settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=1, max_value=5))
+def test_histogram_any_k(spark, duck, k):
+    from cvocr_spark.operators.relational import histogram_topk, histogram_topk_sql
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    _cmp(histogram_topk(ev, k=k), duck, histogram_topk_sql(k=k))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=5, max_value=80))
+def test_ordered_assembly_any_prefix(spark, duck, prefix_len):
+    from cvocr_spark.operators.windows import (
+        ordered_assembly,
+        ordered_assembly_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    _cmp(
+        ordered_assembly(docs, prefix_len=prefix_len),
+        duck,
+        ordered_assembly_sql(prefix_len=prefix_len),
+    )
+
+
+@settings(max_examples=6, deadline=None)
 @given(st.integers(min_value=1, max_value=90))
 def test_tumbling_window_any_width(spark, duck, minutes):
     # includes non-day-dividing widths (7, 13, ...): catches window
