@@ -53,10 +53,8 @@ def injected_dups_sql(every: int = 10, where: str = "TRUE") -> str:
 def exact_dedup(docs: DataFrame, prefix: int = 40) -> DataFrame:
     """Exact dedup by content hash: keep min doc_id per md5(prefix)."""
     h = F.md5(F.substring("text", 1, prefix))
-    return (
-        docs.groupBy(h.alias("h"))
-        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
-        .filter(F.col("n_copies") >= 1)
+    return docs.groupBy(h.alias("h")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
     )
 
 
