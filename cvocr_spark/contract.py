@@ -288,14 +288,29 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: dedup.minhash_lsh_pairs(dedup.with_injected_dups(_t(s, d, "documents"))),
         dedup.minhash_lsh_pairs_sql(corpus=dedup.injected_dups_sql()),
     )
-    c["ngram_jaccard_pairs"] = (
-        lambda s, d: dedup.ngram_jaccard_pairs(
-            dedup.with_injected_dups(_t(s, d, "documents").filter(F.col("doc_id") < 60)),
-            threshold=0.95,
+    c["minhash_verified_dups"] = (
+        # LSH candidates -> exact token-Jaccard verification (linear in
+        # candidates; the n-gram Jaccard capability applied where a
+        # 100-TB run applies it — never a token self-join)
+        lambda s, d: dedup.minhash_verified_dups(
+            dedup.with_injected_dups(_t(s, d, "documents")), threshold=0.8
         ),
-        dedup.ngram_jaccard_pairs_sql(
-            corpus=dedup.injected_dups_sql(where="doc_id < 60"), threshold=0.95
+        dedup.minhash_verified_dups_sql(
+            corpus=dedup.injected_dups_sql(), threshold=0.8
         ),
+    )
+    c["dedup_clusters"] = (
+        # pairs -> connected components -> keeper per cluster (P12: the
+        # union-find graft, ergroup.cpp:47-64,163-171); two injected dup
+        # generations give >2-member components the propagation must
+        # collapse transitively
+        lambda s, d: dedup.dedup_clusters(
+            dedup.with_injected_dups(_t(s, d, "documents"), generations=2),
+            dedup.minhash_lsh_pairs(
+                dedup.with_injected_dups(_t(s, d, "documents"), generations=2)
+            ),
+        ),
+        dedup.dedup_clusters_sql(corpus=dedup.injected_dups_sql(generations=2)),
     )
 
     # similarity search

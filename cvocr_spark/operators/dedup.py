@@ -5,23 +5,37 @@ SimHash, n-gram Jaccard; embedding near-dup lives in similarity.py).
 All hashing is md5-based (functions/portable.py) so every operator has
 an exact DuckDB oracle.  Scale design:
 
-  * exact dedup      — one hash-groupBy shuffle; at 100 TB this is the
-    cheapest possible dedup (partial agg combines map-side).
+  * exact dedup      — one hash-groupBy shuffle over md5(FULL text);
+    at 100 TB this is the cheapest possible dedup (partial agg combines
+    map-side).  The hash input is the whole document — two docs sharing
+    a prefix but diverging later never merge.
   * minhash + LSH    — signatures are per-row expressions (no shuffle),
     banding turns O(n^2) similarity into an equi-join on band keys:
-    shuffle on (band_id, band_val), join only within buckets.  This is
-    the path that survives 10^12 docs; the pairwise join never
-    materializes the cross product.
-  * simhash          — per-row 16-bit signature; near-dup = same
-    signature (bucket equi-join), no cross product.
-  * n-gram jaccard   — the exact verifier: explode distinct tokens,
-    self-join on token, count intersections.  Quadratic in the worst
-    case, so it is applied AFTER candidate generation at scale (here:
-    a bounded doc subset for the oracle).
+    shuffle on (band_id, band_val), join only within buckets.  A
+    HOT-BUCKET GUARD drops degenerate buckets (empty docs, templated
+    boilerplate) above ``max_bucket`` members — the classic crawl-scale
+    skew-killer where one band value would otherwise self-join
+    quadratically; skipped buckets are surfaced by
+    ``lsh_skipped_buckets``.
+  * jaccard verify   — ``verify_pairs_jaccard`` takes the CANDIDATE
+    pair list (LSH output) and joins each pair to its two token sets:
+    exact token-set Jaccard, linear in candidates, never a token
+    self-join.  ``minhash_verified_dups`` wires LSH -> verify.
+  * clusters         — ``dedup_clusters`` resolves candidate pairs into
+    duplicate CLUSTERS by iterative min-label propagation (distributed
+    connected components) and marks one keeper per cluster: the graft
+    of the reference's union-find region grouping
+    (ergroup.cpp:47-64 merge loop, ergroup.cpp:163-171 find/compress).
+    Pairs alone don't dedup a corpus; keepers do.
+  * simhash          — per-row 16-bit signature for the oracle-exact
+    demo; the production-width 64-bit variant with Hamming bucketing
+    lives in simhash64.py.
 
 For a non-trivial fixture on synthetic data (which has no natural
 dups), `with_injected_dups` unions in exact copies with doc_id+offset —
 the graft of the reference's augmentation corpus (moreSample.py:24-62).
+``generations`` > 1 injects chained copies (A, A', A'') so cluster
+resolution has >2-member components to collapse.
 """
 
 from __future__ import annotations
@@ -34,40 +48,47 @@ from ..functions import portable as P
 DUP_OFFSET = 100000
 
 
-def with_injected_dups(docs: DataFrame, every: int = 10) -> DataFrame:
-    dups = docs.filter(F.col("doc_id") % every == 0).withColumn(
-        "doc_id", F.col("doc_id") + DUP_OFFSET
-    )
-    return docs.unionByName(dups)
+def with_injected_dups(docs: DataFrame, every: int = 10, generations: int = 1) -> DataFrame:
+    out = docs
+    for g in range(1, generations + 1):
+        dups = docs.filter(F.col("doc_id") % every == 0).withColumn(
+            "doc_id", F.col("doc_id") + g * DUP_OFFSET
+        )
+        out = out.unionByName(dups)
+    return out
 
 
-def injected_dups_sql(every: int = 10, where: str = "TRUE") -> str:
-    return f"""
-    SELECT * FROM documents WHERE {where}
-    UNION ALL
-    SELECT doc_id + {DUP_OFFSET} AS doc_id, text, lang, source, n_chars
-    FROM documents WHERE ({where}) AND doc_id % {every} = 0
-    """
+def injected_dups_sql(every: int = 10, where: str = "TRUE", generations: int = 1) -> str:
+    parts = [f"SELECT * FROM documents WHERE {where}"]
+    for g in range(1, generations + 1):
+        parts.append(
+            f"SELECT doc_id + {g * DUP_OFFSET} AS doc_id, text, lang, source, n_chars"
+            f" FROM documents WHERE ({where}) AND doc_id % {every} = 0"
+        )
+    return "\n    UNION ALL\n    ".join(parts)
 
 
-def exact_dedup(docs: DataFrame, prefix: int = 40) -> DataFrame:
-    """Exact dedup by content hash: keep min doc_id per md5(prefix)."""
-    h = F.md5(F.substring("text", 1, prefix))
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by FULL-content hash: keep min doc_id per
+    (length, md5) of the whole text.  Length is prepended to the key so
+    even an md5 collision would additionally need equal lengths."""
+    h = F.concat_ws(":", F.length("text"), F.md5("text"))
     return docs.groupBy(h.alias("h")).agg(
         F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
     )
 
 
-def exact_dedup_sql(prefix: int = 40, corpus: str = "documents") -> str:
+def exact_dedup_sql(corpus: str = "documents") -> str:
     return f"""
-    SELECT md5(substr(text, 1, {prefix})) AS h, min(doc_id) AS keeper,
-           count(*) AS n_copies
+    SELECT concat(cast(length(text) as varchar), ':', md5(text)) AS h,
+           min(doc_id) AS keeper, count(*) AS n_copies
     FROM ({corpus}) GROUP BY 1
     """
 
 
 MINHASH_K = 8
 BANDS = 4  # 4 bands x 2 rows
+MAX_BUCKET = 100  # hot-bucket guard: band buckets larger than this are skipped
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -91,9 +112,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return paired.select(*cols)
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """Band the signatures (2 rows/band) and equi-join on band value:
-    candidate near-dup pairs without a cross product."""
+def _banded(docs: DataFrame) -> DataFrame:
     sigs = minhash_signatures(docs)
     band_cols = []
     for b in range(BANDS):
@@ -103,10 +122,30 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
                 F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("band_val"),
             )
         )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
+
+
+def _bucket_sizes(banded: DataFrame) -> DataFrame:
+    # groupBy (not a window): partial aggregation combines map-side, so
+    # even a monster bucket only ships one count row per map task
+    return banded.groupBy("band_id", "band_val").agg(F.count("*").alias("bucket_n"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Band the signatures (2 rows/band) and equi-join on band value:
+    candidate near-dup pairs without a cross product.  Buckets larger
+    than ``max_bucket`` are DROPPED before the self-join (hot-bucket
+    guard): a degenerate band value (10k identical boilerplate docs)
+    would otherwise produce a single O(n^2) task at crawl scale.
+    Skipped buckets are observable via ``lsh_skipped_buckets``."""
+    banded = _banded(docs)
+    safe = banded.join(
+        _bucket_sizes(banded).filter(F.col("bucket_n") <= max_bucket),
+        ["band_id", "band_val"],
+    ).drop("bucket_n")
+    a, b = safe.alias("a"), safe.alias("b")
     return (
         a.join(
             b,
@@ -119,7 +158,15 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs_sql(corpus: str = "documents") -> str:
+def lsh_skipped_buckets(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """The buckets the guard dropped: (band_id, band_val, bucket_n) —
+    the triage view a 100-TB run logs alongside the pair output."""
+    return _bucket_sizes(_banded(docs)).filter(F.col("bucket_n") > max_bucket)
+
+
+def _lsh_pairs_ctes(corpus: str, max_bucket: int = MAX_BUCKET) -> str:
+    """Shared DuckDB CTE chain corpus -> sigs -> banded -> lsh_pairs,
+    with the same hot-bucket guard semantics as the Spark plan."""
     words = P.words_duck("text")
     shingles = f"list_distinct({P.shingles_duck(words)})"
     mh = P.minhash_from_pairs_duck("mhp", MINHASH_K)
@@ -130,14 +177,191 @@ def minhash_lsh_pairs_sql(corpus: str = "documents") -> str:
         for b in range(BANDS)
     )
     return f"""
-    WITH corpus AS ({corpus}),
+    corpus AS ({corpus}),
     paired AS (SELECT doc_id, {P.minhash_pairs_duck(shingles)} AS mhp FROM corpus),
     sigs AS (SELECT doc_id, {mh_select} FROM paired),
-    banded AS ({bands})
-    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-    FROM banded a JOIN banded b
-      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    banded AS ({bands}),
+    safe AS (
+      SELECT doc_id, band_id, band_val FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_val) AS bucket_n
+        FROM banded
+      ) WHERE bucket_n <= {max_bucket}
+    ),
+    lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM safe a JOIN safe b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+def minhash_lsh_pairs_sql(corpus: str = "documents", max_bucket: int = MAX_BUCKET) -> str:
+    return f"WITH {_lsh_pairs_ctes(corpus, max_bucket)}\n    SELECT a, b FROM lsh_pairs"
+
+
+# --------------------------------------------------------------------------
+# candidate-pair Jaccard verification (linear in candidates, no self-join)
+# --------------------------------------------------------------------------
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact token-set Jaccard over a CANDIDATE pair list: join each
+    (a, b) to its two distinct-token arrays and score with array
+    intersection — cost linear in |pairs|, never a token self-join.
+    This is the LSH->verify stage of a production dedup pipeline."""
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("toks_a") + F.size("toks_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_verified_dups(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates -> exact Jaccard
+    verification (the n-gram Jaccard capability, applied where it is
+    linear: after candidate generation)."""
+    return verify_pairs_jaccard(minhash_lsh_pairs(docs), docs, threshold)
+
+
+def minhash_verified_dups_sql(corpus: str = "documents", threshold: float = 0.8) -> str:
+    jac = (
+        "round(cast(len(list_intersect(ta.toks, tb.toks)) as double)"
+        " / (len(ta.toks) + len(tb.toks)"
+        " - len(list_intersect(ta.toks, tb.toks))), 4)"
+    )
+    return f"""
+    WITH {_lsh_pairs_ctes(corpus)},
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM corpus
+    )
+    SELECT p.a, p.b, {jac} AS jaccard
+    FROM lsh_pairs p
+    JOIN toks ta ON p.a = ta.doc_id
+    JOIN toks tb ON p.b = tb.doc_id
+    WHERE {jac} >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# duplicate-pair -> duplicate-cluster resolution (P12: the union-find graft)
+# --------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Distributed connected components over an undirected pair list:
+    iterative min-label propagation — each round every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes.  Rounds = component diameter (dup chains are short;
+    ``max_iter`` is the hard bound).  This is the union-find merge loop
+    of the reference (ergroup.cpp:47-64) re-expressed as joins: the
+    per-round shuffle is one equi-join on node id, and lineage is
+    truncated every round (localCheckpoint) so plans stay constant-size.
+
+    Returns (node, label) with label = min node id in the component.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """pairs -> clusters -> one keeper per cluster, over the WHOLE
+    corpus (docs not in any pair are their own singleton cluster).
+    cluster_id = min doc_id in the component; is_keeper marks the one
+    row per cluster a dedup pass keeps.  Graft of the reference's
+    region grouping (ergroup.cpp:47-64,163-171) — there merging
+    overlapping boxes, here merging near-duplicate documents."""
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def dedup_clusters_sql(corpus: str = "documents") -> str:
+    """Recursive-CTE oracle: min reachable node id per node over the
+    same LSH pair list."""
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_ctes(corpus)},
+    edges AS (
+      SELECT a AS src, b AS dst FROM lsh_pairs
+      UNION
+      SELECT b AS src, a AS dst FROM lsh_pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.doc_id,
+           coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+           c.doc_id = coalesce(l.cluster_id, c.doc_id) AS is_keeper
+    FROM corpus c LEFT JOIN labels l ON c.doc_id = l.node
+    """
+
+
+# --------------------------------------------------------------------------
+# simhash (oracle-exact 16-bit demo; 64-bit production width in simhash64.py)
+# --------------------------------------------------------------------------
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -151,54 +375,3 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_signatures_sql(corpus: str = "documents") -> str:
     words = P.words_duck("text")
     return f"SELECT doc_id, {P.simhash_duck(words)} AS simhash FROM ({corpus})"
-
-
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Exact token-set Jaccard >= threshold via token self-join — the
-    precise verifier run on LSH candidates at scale."""
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sza") + F.col("szb") - F.col("inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
-
-
-def ngram_jaccard_pairs_sql(corpus: str = "documents", threshold: float = 0.6) -> str:
-    return f"""
-    WITH corpus AS ({corpus}),
-    toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM corpus
-    ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT a, b,
-           round(cast(inter as double) / (sa.sz + sb.sz - inter), 4) AS jaccard
-    FROM inter JOIN sizes sa ON inter.a = sa.doc_id
-               JOIN sizes sb ON inter.b = sb.doc_id
-    WHERE round(cast(inter as double) / (sa.sz + sb.sz - inter), 4) >= {threshold}
-    """

@@ -1,0 +1,119 @@
+"""Dedup-family semantic tests (VERDICT round-1 items 1, 2, 3, 5):
+exact dedup is actually exact, clusters collapse transitively, the
+Jaccard verifier never token-self-joins, and the hot-bucket guard
+bounds degenerate LSH buckets."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cvocr_spark.operators import dedup  # noqa: E402
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_shared_prefix_does_not_merge(spark):
+    """Two docs sharing a 60-char prefix but diverging later are NOT
+    duplicates (the round-1 prefix=40 defect)."""
+    prefix = "w " * 30  # 60 chars
+    df = _docs(
+        spark,
+        [
+            (1, prefix + "alpha ending one"),
+            (2, prefix + "completely different ending two"),
+            (3, prefix + "alpha ending one"),  # true exact copy of 1
+        ],
+    )
+    out = {r["keeper"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_dedup_clusters_chain_collapses_to_one_keeper(spark):
+    """Injected chain A~B, B~C (no direct A~C pair) must land in ONE
+    cluster with keeper = min doc_id — transitive resolution, the thing
+    a bare pair list cannot do."""
+    docs = _docs(spark, [(i, f"doc {i}") for i in (1, 2, 3, 9)])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    rows = {r["doc_id"]: r for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert {d: rows[d]["cluster_id"] for d in (1, 2, 3, 9)} == {1: 1, 2: 1, 3: 1, 9: 9}
+    assert [d for d in rows if rows[d]["is_keeper"]] == [1, 9] or sorted(
+        d for d in rows if rows[d]["is_keeper"]
+    ) == [1, 9]
+
+
+def test_connected_components_long_chain_and_two_components(spark):
+    # chain 1-2-3-4-5 (diameter 4: exercises multiple propagation
+    # rounds) plus a separate pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a bigint, b bigint"
+    )
+    labels = {
+        r["node"]: r["label"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_verify_pairs_jaccard_scores_candidates_only(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox leaps"),   # 4/6 tokens shared with 1
+            (3, "entirely unrelated words here"),
+        ],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a bigint, b bigint")
+    out = dedup.verify_pairs_jaccard(pairs, docs, threshold=0.5)
+    rows = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+    # (1,2): inter=4, union=6 -> 0.6667 kept; (1,3): 0 dropped
+    assert rows == {(1, 2): 0.6667}
+
+
+def test_verified_dups_plan_has_no_token_selfjoin(spark):
+    """The verifier must be linear in candidates: no explode of tokens
+    anywhere in the physical plan (VERDICT item 3 'done' criterion)."""
+    docs = _docs(spark, [(i, f"text body number {i}") for i in range(20)])
+    pairs = spark.createDataFrame([(0, 1)], "a bigint, b bigint")
+    plan = dedup.verify_pairs_jaccard(pairs, docs)._jdf.queryExecution().executedPlan().toString()
+    # explode (physical: Generate) only appears in LSH banding, never in
+    # the verify stage; here there is no LSH so the plan must have none
+    assert "Generate" not in plan, plan
+
+
+def test_hot_bucket_guard_bounds_degenerate_corpus(spark):
+    """10k identical docs = one degenerate bucket per band.  With the
+    guard the pair join is empty and completes in bounded time; the
+    skipped buckets are surfaced with their true sizes (VERDICT item 5)."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated on every single page").alias("text"),
+    )
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(df, max_bucket=100)
+    assert pairs.count() == 0
+    skipped = dedup.lsh_skipped_buckets(df, max_bucket=100).collect()
+    wall = time.perf_counter() - t0
+    assert len(skipped) == dedup.BANDS  # one hot bucket per band
+    assert all(r["bucket_n"] == n for r in skipped)
+    # without the guard this would be a 10k^2/2 = 50M-row self-join per
+    # band; the guarded run is seconds
+    assert wall < 60, f"guarded run took {wall:.1f}s"
+
+
+def test_hot_bucket_guard_keeps_small_buckets(spark):
+    """Normal-size buckets still pair: two exact copies survive the
+    guard while the degenerate mass is dropped."""
+    filler = [(i, f"unique filler document number {i} with words {i * 7}") for i in range(50)]
+    dups = [(1000, "a genuine duplicated article body"), (1001, "a genuine duplicated article body")]
+    df = _docs(spark, filler + dups)
+    got = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(df, max_bucket=10).collect()}
+    assert (1000, 1001) in got
