@@ -48,6 +48,16 @@ TOKEN_RE = re.compile(
 # rawtext content models: everything up to the literal close tag is text
 _RAWTEXT = frozenset(("script", "style", "textarea", "title"))
 
+# close-tag finders matching html.parser's CDATA-mode semantics exactly
+# (endtagfind: '</' + optional ws + name + optional ws + '>').  Searching
+# the ORIGINAL doc case-insensitively — never a lowercased shadow string,
+# whose length can differ (str.lower() expands U+0130 'İ' to 2 chars) and
+# silently desynchronize offsets; and never a bare prefix find, which
+# would treat '</scripts>' as closing '</script'.
+_RAWTEXT_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _RAWTEXT
+}
+
 _ATTR_RE = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9\-:_]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
 )
@@ -164,7 +174,6 @@ class FastSegmenter:
 
     # -- the scan ----------------------------------------------------------
     def feed(self, doc: str) -> None:
-        low = doc.lower()
         pos = 0
         n = len(doc)
         search = TOKEN_RE.search
@@ -193,16 +202,16 @@ class FastSegmenter:
             if selfclose:  # self-closing: <x/> == start+end (HTMLParser parity)
                 self._end(tag)
             elif tag in _RAWTEXT:
-                # rawtext: skip straight to the literal close tag
-                close = low.find("</" + tag, pos)
-                if close < 0:
+                # rawtext: skip straight to the real close tag (matched on
+                # doc itself, case-insensitive, delimiter-exact)
+                mc = _RAWTEXT_CLOSE[tag].search(doc, pos)
+                if mc is None:
                     # unterminated rawtext swallows the rest (HTMLParser parity)
                     if tag in self.stack:  # pop it so close() flush depth is sane
                         self._end(tag)
                     break
-                gt = doc.find(">", close)
                 self._end(tag)
-                pos = n if gt < 0 else gt + 1
+                pos = mc.end()
 
     def close(self) -> None:
         self._flush()

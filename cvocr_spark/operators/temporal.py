@@ -118,16 +118,37 @@ FROM events GROUP BY 1, 2
 
 
 KMV_K = 64
+KMV_SALTS = 32
 
 
 def kmv_distinct_sketch(events: DataFrame) -> DataFrame:
-    """KMV distinct-user estimate per event_type + exact + rel error."""
+    """KMV distinct-user estimate per event_type + exact + rel error.
+
+    PARTIAL top-k plan: a global k-smallest would sort every hash of a
+    hot event_type through one window task (the round-1 defect).
+    Instead the hashes are salted into KMV_SALTS shards, the k smallest
+    are taken per (event_type, salt) — parallel, each task sees 1/32 of
+    the key — and the survivors (<= k * KMV_SALTS rows per type) merge
+    through a second, trivially small window.  Two-level k-smallest is
+    exactly global k-smallest, so the oracle is unchanged.  This is
+    also the honest sketch story: partial sketches per shard, merged.
+    (Spark 4's WindowGroupLimit additionally inserts a map-side rank
+    limit before each window shuffle — tests/test_plans.py asserts both
+    properties hold in the physical plan.)
+    """
     h = F.expr(P.hash60_spark("cast(user_id as string)", "kmv"))
     hashed = events.select("event_type", F.col("user_id"), h.alias("h")).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    salted = hashed.withColumn("salt", F.pmod("h", F.lit(KMV_SALTS)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h", "user_id")
+    partial = (
+        salted.withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= KMV_K)
+        .drop("prn", "salt")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h", "user_id")
     kth = (
-        ranked.filter(F.col("rn") == KMV_K)
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == KMV_K)
         .select("event_type", F.col("h").alias("kth"))
     )
     exact = events.groupBy("event_type").agg(

@@ -26,9 +26,9 @@ and the Iceberg impl is a thin config switch (`fmt='iceberg'`).
 
 from __future__ import annotations
 
-import os
 import uuid
 
+from pyspark.errors import AnalysisException, SparkRuntimeException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,12 +55,22 @@ class ParquetTableIO:
         return self.spark.read.parquet(path)
 
     def exists(self, path: str) -> bool:
+        """True iff the table is readable AT THE CLUSTER'S storage layer.
+        Probed by attempting the read (schema inference) rather than
+        driver-local os.path checks, which silently return False for
+        S3/HDFS paths and would make resume reprocess every bucket
+        (ADVICE r1).  AnalysisException covers both a missing path and
+        an empty dir with no inferable schema."""
         if self.fmt == "iceberg":
             return self.spark.catalog.tableExists(path)
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") or f.startswith("bucket=") or f == "_SUCCESS"
-            for f in os.listdir(path)
-        )
+        try:
+            self.read(path).schema
+            return True
+        except (AnalysisException, SparkRuntimeException):
+            # missing path, empty dir (no inferable schema), or a path
+            # that isn't a coherent table (conflicting partition layout):
+            # all mean "no committed manifest here"
+            return False
 
     def write_partitioned(self, df: DataFrame, path: str, partition_col: str) -> None:
         if self.fmt == "iceberg":

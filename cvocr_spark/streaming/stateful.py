@@ -24,42 +24,77 @@ PAGES_OUT_DDL = "url string, warc_ts timestamp, html binary"
 _STATE_SCHEMA = "seen array<string>"
 
 
-def _dedup_group(key, pdfs, state: GroupState):
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
-    for pdf in pdfs:
-        keep_rows = []
-        for i, u in enumerate(pdf["url"]):
-            if u not in seen:
-                seen.add(u)
-                keep_rows.append(i)
-        if keep_rows:
-            out.append(pdf.iloc[keep_rows][["url", "warc_ts", "html"]])
-    state.update((sorted(seen),))
-    if out:
-        yield pd.concat(out)
-    else:
-        yield pd.DataFrame({"url": [], "warc_ts": [], "html": []})
+DEDUP_STATE_TTL_MS = 6 * 3600 * 1000  # evict a shard's seen-set after 6h idle
 
 
-def dedup_urls_stream(pages_stream: DataFrame, n_shards: int = 32) -> DataFrame:
+def _make_dedup_group(ttl_ms: int | None):
+    def _dedup_group(key, pdfs, state: GroupState):
+        # TTL eviction (ADVICE r1): without it the seen-set grows
+        # without bound on a long-running ingest.  A timed-out shard
+        # clears its state — re-crawls older than the TTL pass through
+        # again, the standard freshness/space trade of streaming dedup.
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"url": [], "warc_ts": [], "html": []})
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        n_before = len(seen)
+        out = []
+        for pdf in pdfs:
+            keep_rows = []
+            for i, u in enumerate(pdf["url"]):
+                if u not in seen:
+                    seen.add(u)
+                    keep_rows.append(i)
+            if keep_rows:
+                out.append(pdf.iloc[keep_rows][["url", "warc_ts", "html"]])
+        if len(seen) > n_before:  # rewrite state only when it actually grew
+            state.update((sorted(seen),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.concat(out)
+        else:
+            yield pd.DataFrame({"url": [], "warc_ts": [], "html": []})
+
+    return _dedup_group
+
+
+def dedup_urls_stream(
+    pages_stream: DataFrame,
+    n_shards: int = 32,
+    state_ttl_ms: int | None = DEDUP_STATE_TTL_MS,
+) -> DataFrame:
     """Streaming pages -> first-occurrence-only pages.
 
     At 10^12-doc scale the seen-set lives in a state store shard per
     url-hash bucket; this in-memory variant demonstrates the operator
     shape (a production variant would swap the set for a bloom filter
-    checkpointed by the state store)."""
+    checkpointed by the state store).
+
+    State is bounded by a processing-time TTL (default 6h idle ->
+    shard evicted).  CAVEAT, verified live: with ProcessingTimeTimeout
+    the micro-batch engine keeps scheduling batches to service future
+    timers, so an ``availableNow``/drain-and-stop run NEVER terminates
+    on its own.  The TTL is for the always-on ingest deployment; pass
+    ``state_ttl_ms=None`` for bounded backfill runs that must
+    self-terminate (NoTimeout, state lives only for the run)."""
     sharded = pages_stream.withColumn(
         "shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
+    )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
     )
     return (
         sharded.groupBy("shard")
         .applyInPandasWithState(
-            _dedup_group,
+            _make_dedup_group(state_ttl_ms),
             outputStructType=PAGES_OUT_DDL,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

@@ -52,9 +52,42 @@ def test_fast_handles_edge_markup():
         b"<div hidden><p>invisible</p></div><p>real content long enough to pass the bar</p>",
         b'<div style="display:none"><p>gone</p></div><p>real content long enough to pass</p>',
         b"<p>entity test &amp; &lt;tag&gt; &#65; &nbsp; plus words to reach threshold ok</p>",
+        # ADVICE r1 (high): non-ASCII whose str.lower() changes length
+        # (U+0130 'İ' lowers to 2 chars) before a rawtext element — a
+        # lowercased shadow string desynchronizes close-tag offsets and
+        # silently drops the following paragraph
+        ("İ" * 30 + "<script>var x=1;</script>"
+         "<p>paragraph after the dotted capital I that must survive fully</p>").encode("utf-8"),
+        ("<p>mixed İstanbul text long enough to be kept as actual content here</p>"
+         "<style>a{}</style><p>second paragraph also long enough to be kept ok</p>").encode("utf-8"),
+        # ADVICE r1 (low): '</scripts>' must NOT close '</script' (html.parser
+        # requires the exact name; prefix-matching leaks script source)
+        b"<script>var a=1; </scripts> var b=2;</script><p>content after script long enough</p>",
+        b"<script>x</script foo='bar'> leaked? no</script><p>trailing real content here ok</p>",
+        b"<SCRIPT>y</ScRiPt><p>case-insensitive close with real content long enough here</p>",
+        b"<script>z</script ><p>whitespace before gt with real content long enough here</p>",
     ]
     for c in cases:
         _same(c)
+
+
+def test_rawtext_close_is_exact_name():
+    """'</scripts>' stays inside the script; the real '</script>' closes
+    it — the paragraph after must be extracted, the script source not."""
+    html = (
+        b"<script>var a='</scripts>'; run();</script>"
+        b"<p>the only real paragraph of content on this page long enough to keep</p>"
+    )
+    r = extract(html, FAST)
+    assert "run()" not in r.text and "scripts" not in r.text
+    assert "only real paragraph" in r.text
+
+
+def test_nonascii_lower_desync_does_not_drop_content():
+    html = ("İ" * 30 + "<script>s()</script><p>" + "kept content words " * 5 + "</p>").encode()
+    r = extract(html, FAST)
+    assert "kept content words" in r.text
+    assert "s()" not in r.text
 
 
 @settings(max_examples=80, deadline=None)

@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions: the scale properties VERDICT flagged
+must be visible in the executed plan, not just claimed in docstrings."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("CVOCR_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kmv_no_global_window_over_raw_hashes(spark):
+    """The first (full-data) window must partition by (event_type, salt),
+    never by event_type alone — a hot key's hashes spread over
+    KMV_SALTS tasks (VERDICT item 8 'done' criterion)."""
+    from cvocr_spark.operators import temporal
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(temporal.kmv_distinct_sketch(events))
+    # exactly two Window nodes (WindowGroupLimit helpers excluded): the
+    # salted partial pass and the tiny merge pass
+    windows = [
+        ln for ln in plan.splitlines()
+        if "Window [row_number()" in ln
+    ]
+    assert len(windows) == 2, plan
+    salted = [ln for ln in windows if "salt" in ln]
+    assert len(salted) == 1, f"expected exactly one salted window:\n{plan}"
+    # the unsalted (merge) window must be the plan PARENT of the prn<=K
+    # filter (printed above it in top-down toString), i.e. it consumes
+    # the partial-k output, never the raw hash stream
+    unsalted = next(ln for ln in windows if "salt" not in ln)
+    assert plan.find(unsalted) < plan.find("Filter (prn"), plan
+    # Spark 4 additionally pushes a map-side rank limit before each
+    # window shuffle — assert it's present so a regression is loud
+    assert "WindowGroupLimit" in plan and ", Partial" in plan, plan
+
+
+def test_kmv_values_unchanged_by_partial_plan(spark):
+    """Two-level k-smallest == global k-smallest: spot-check the kth
+    hash against a driver-side sort of all hashes."""
+    from pyspark.sql import functions as F
+
+    from cvocr_spark.functions import portable as P
+    from cvocr_spark.operators import temporal
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r["event_type"]: r["kmv_estimate"]
+        for r in temporal.kmv_distinct_sketch(events).collect()
+    }
+    h = F.expr(P.hash60_spark("cast(user_id as string)", "kmv"))
+    for et, est in got.items():
+        hashes = sorted(
+            r["h"]
+            for r in events.filter(F.col("event_type") == et)
+            .select(F.col("user_id"), h.alias("h"))
+            .distinct()
+            .collect()
+        )
+        if len(hashes) >= temporal.KMV_K:
+            kth = hashes[temporal.KMV_K - 1]
+            want = round((temporal.KMV_K - 1) * float(2**60) / float(kth), 2)
+            assert est == want, (et, est, want)

@@ -35,7 +35,10 @@ def test_stateful_dedup_across_microbatches(spark):
             "url string, warc_ts timestamp, html binary"
         ).option("maxFilesPerTrigger", 4).parquet(in_dir)
         q = (
-            dedup_urls_stream(stream)
+            # bounded backfill mode (state_ttl_ms=None): an availableNow
+            # query under ProcessingTimeTimeout never self-terminates
+            # (timer batches keep it alive) — see dedup_urls_stream
+            dedup_urls_stream(stream, state_ttl_ms=None)
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
@@ -50,6 +53,56 @@ def test_stateful_dedup_across_microbatches(spark):
         assert out.select("url").distinct().count() == n
         assert out.groupBy("url").count().filter(F.col("count") > 1).count() == 0
         pages.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_dedup_ttl_mode_runs_live(spark):
+    """The production TTL configuration (ProcessingTimeTimeout): drive a
+    continuously-triggered query, confirm dedup output, then stop it
+    explicitly (it will not self-terminate — that's the documented
+    contract of timer-based state)."""
+    import time
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from cvocr_spark.streaming import dedup_urls_stream
+
+    d = tempfile.mkdtemp(prefix="cvocr_ttl_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pages = gen_pages_df(spark, docs).select("url", "warc_ts", "html").limit(60)
+        in_dir, out_dir, ckpt = d + "/in", d + "/out", d + "/ckpt"
+        pages.write.mode("overwrite").parquet(in_dir)
+        pages.write.mode("append").parquet(in_dir)  # every url twice
+
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary"
+        ).parquet(in_dir)
+        q = (
+            dedup_urls_stream(stream, state_ttl_ms=60_000)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            n = -1
+            while time.time() < deadline:
+                try:
+                    n = spark.read.parquet(out_dir).select("url").distinct().count()
+                    if n >= 60 and spark.read.parquet(out_dir).count() == n:
+                        break
+                except Exception:
+                    pass
+                time.sleep(2)
+            out = spark.read.parquet(out_dir)
+            assert out.count() == 60 and out.select("url").distinct().count() == 60
+            assert q.isActive  # timer batches keep the TTL query alive
+        finally:
+            q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
