@@ -105,6 +105,7 @@ def q_extract_blocks_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_blocks"),
         F.sum("n_chars").alias("n_chars"),
         F.round(F.avg("link_density"), 4).alias("mean_link_density"),
+        F.round(F.avg("conf"), 4).alias("mean_conf"),
     )
 
 

@@ -74,8 +74,13 @@ class KernelConfig:
     # fusion (cut.h:400-497)
     max_fuse_lookahead: int = 4        # try fusing 2..5 adjacent (cut.h:446-455)
     similar_ratio: float = 0.8         # MIN_SIMILIRITY (cut.h:40)
-    # low-score absorb (reco.py:167-176)
-    absorb_score: float = 0.4
+    # low-confidence absorb (reco.py:167-176): a content block whose
+    # classifier confidence is below absorb_conf AND whose length is
+    # <= absorb_ratio of its neighbor is absorbed into that neighbor —
+    # the graft of refreshRegion consuming per-patch recognition scores
+    # (reco.py:167, confidences tesstool.h:44-47)
+    absorb_conf: float = 0.5
+    absorb_ratio: float = 0.4
     # segmentation backend: the fast regex scanner (fastparse.py) or the
     # stdlib-HTMLParser reference path; both verified block-identical on
     # the fixture corpus (tests/test_fastparse.py)
@@ -100,6 +105,11 @@ class Block:
     n_tags: int = 0           # descendant tag count (for text_density)
     boiler_ctx: bool = False  # inside nav/header/footer/aside/form
     cls: str = "undecided"    # content | boilerplate | noise | undecided
+    conf: float = 0.0         # confidence of the assigned cls (normalized
+    #                           class-affinity score; reco.py:64-79 analogue)
+    candidates: list = field(default_factory=list)  # [(cls, score)] desc —
+    #                           the top-k candidate labels w/ confidences
+    #                           (reco.py:41, tesstool.h:44-47)
     char_start: int = -1      # offset into assembled text (kept blocks only)
     char_end: int = -1
 
@@ -207,6 +217,11 @@ _VOID_TAGS = frozenset(
 )
 
 _HIDDEN_STYLE_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden")
+
+# markup sniff: anything that could open a tag/comment/doctype.  A doc
+# with NO such token is a text/plain payload (the C2 plain-text route);
+# a bare '<' followed by space/digit (e.g. "a < b") does not count.
+_TAG_LIKE_RE = re.compile(r"<[a-zA-Z!/?]")
 
 
 class _Segmenter(HTMLParser):
@@ -505,6 +520,43 @@ def _run_length_promote(blocks: list[Block], cfg: KernelConfig) -> None:
         i = j
 
 
+def _class_scores(b: Block, std_len: float, cfg: KernelConfig) -> dict[str, float]:
+    """Deterministic class-affinity scores in [0,1] from the block
+    features — the analogue of the reference's per-patch candidate
+    confidences (reco.py:64-79, tesstool.h:44-47), derived from the
+    same features the rule cascade reads so score and label agree."""
+    n = b.n_chars
+    ld = b.link_density
+    std = max(cfg.min_content_chars, cfg.std_ratio * std_len, 1.0)
+    len_term = min(1.0, n / std)
+    link_term = max(0.0, 1.0 - ld / cfg.max_link_density)
+    s_content = len_term * link_term * (0.35 if b.boiler_ctx else 1.0)
+    s_boiler = max(
+        min(1.0, ld / cfg.max_link_density),
+        0.75 if b.boiler_ctx else 0.0,
+        0.55 * max(0.0, 1.0 - n / cfg.loose_content_chars),
+    )
+    s_noise = 1.0 if n == 0 else 0.5 * max(0.0, (cfg.short_chars - n) / cfg.short_chars)
+    return {"content": s_content, "boilerplate": s_boiler, "noise": s_noise}
+
+
+def _assign_confidence(b: Block, std_len: float, cfg: KernelConfig) -> None:
+    """Set b.conf (normalized affinity of the ASSIGNED class) and
+    b.candidates (all classes with scores, desc — the top-k candidate
+    list of C2, reco.py:41)."""
+    scores = _class_scores(b, std_len, cfg)
+    total = sum(scores.values())
+    if total <= 0.0:
+        norm = {k: (1.0 if k == b.cls else 0.0) for k in scores}
+    else:
+        norm = {k: v / total for k, v in scores.items()}
+    b.conf = round(norm.get(b.cls, 0.0), 4)
+    b.candidates = sorted(
+        ((k, round(v, 4)) for k, v in norm.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+
+
 def _is_similar(a: Block, b: Block, cfg: KernelConfig) -> bool:
     """F2 similarity guard (cut.h:365-384): similar short blocks are list
     items — fusing them would glue a menu into fake content."""
@@ -514,7 +566,7 @@ def _is_similar(a: Block, b: Block, cfg: KernelConfig) -> bool:
     return r >= cfg.similar_ratio and a.tag == b.tag
 
 
-def _fuse(blocks: list[Block], cfg: KernelConfig) -> list[Block]:
+def _fuse(blocks: list[Block], std_len: float, cfg: KernelConfig) -> list[Block]:
     """P10 lookahead fusion (cut.h:400-497): fuse a short content block
     with following adjacent content blocks when the fused length passes
     the standard and the refusal guards don't fire (cut.h:458-479)."""
@@ -548,6 +600,7 @@ def _fuse(blocks: list[Block], cfg: KernelConfig) -> list[Block]:
                 boiler_ctx=acc.boiler_ctx,
                 cls="content",
             )
+            _assign_confidence(fused, std_len, cfg)  # conf reflects fused features
             acc = fused
             j += 1
         out.append(acc)
@@ -555,17 +608,20 @@ def _fuse(blocks: list[Block], cfg: KernelConfig) -> list[Block]:
     return out
 
 
-def _absorb_low_score(blocks: list[Block], cfg: KernelConfig) -> list[Block]:
-    """C3 low-confidence merge (reco.py:159-192): a low-score content
-    block adjacent to a much larger content block is absorbed into it."""
+def _absorb_low_conf(blocks: list[Block], cfg: KernelConfig) -> list[Block]:
+    """C3 low-confidence merge (reco.py:159-192): a content block whose
+    classifier confidence is below ``absorb_conf`` AND whose length is
+    at most ``absorb_ratio`` of the preceding content block is absorbed
+    into it — keyed on the per-block confidence (the refreshRegion
+    score consumption, reco.py:167), not on raw length alone."""
     out: list[Block] = []
     for b in blocks:
         if (
             out
             and b.cls == "content"
             and out[-1].cls == "content"
-            and b.n_chars < cfg.short_chars
-            and b.n_chars <= cfg.absorb_score * out[-1].n_chars
+            and b.conf < cfg.absorb_conf
+            and b.n_chars <= cfg.absorb_ratio * out[-1].n_chars
         ):
             prev = out[-1]
             prev.text = prev.text + " " + b.text
@@ -611,15 +667,29 @@ def extract(html: bytes | str | None, cfg: KernelConfig = DEFAULT_CONFIG) -> Ext
     try:
         doc, flags = decode_html(html, cfg)
         res.flags = flags
-        if cfg.fast_parse:
-            from .fastparse import FastSegmenter
-
-            seg = FastSegmenter()
+        if _TAG_LIKE_RE.search(doc) is None and doc.strip():
+            # plain-text passthrough (C2 dispatch seam, reco.py:94-148):
+            # crawl tables carry text/plain payloads; one whole-doc block
+            # enters the SAME split/classify/assemble pipeline below
+            res.flags = (flags + "," if flags else "") + "plain_text"
+            stripped = doc.strip()
+            raw_blocks = [
+                Block(
+                    depth=0, tag="body", text=doc,
+                    raw_chars=len(stripped), link_chars=0, n_tags=0,
+                    boiler_ctx=False,
+                )
+            ]
         else:
-            seg = _Segmenter()
-        seg.feed(doc)
-        seg.close()
-        raw_blocks = seg.blocks
+            if cfg.fast_parse:
+                from .fastparse import FastSegmenter
+
+                seg = FastSegmenter()
+            else:
+                seg = _Segmenter()
+            seg.feed(doc)
+            seg.close()
+            raw_blocks = seg.blocks
 
         # P7 split + P6 normalize
         blocks: list[Block] = []
@@ -672,11 +742,17 @@ def extract(html: bytes | str | None, cfg: KernelConfig = DEFAULT_CONFIG) -> Ext
             if b.cls == "undecided":
                 b.cls = "boilerplate"
 
+        # per-block confidence + candidate labels for the FINAL class
+        # (after promotions, so conf reflects what the doc-level rules
+        # actually decided)
+        for b in blocks:
+            _assign_confidence(b, std_len, cfg)
+
         res.blocks = list(blocks)
 
-        # P10 fusion + C3 absorb operate on the kept sequence
-        fused = _fuse(blocks, cfg)
-        fused = _absorb_low_score(fused, cfg)
+        # P10 fusion + C3 low-confidence absorb operate on the kept sequence
+        fused = _fuse(blocks, std_len, cfg)
+        fused = _absorb_low_conf(fused, cfg)
 
         # W7 ordered assembly with char-span offsets
         kept = [b for b in fused if b.cls == "content" and b.n_chars > 0]

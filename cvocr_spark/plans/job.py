@@ -111,8 +111,14 @@ def extraction_kernel_arrow(cfg: KernelConfig = DEFAULT_CONFIG):
 
 BLOCKS_DDL = (
     "url string, block_id int, depth int, tag string, text string, "
-    "cls string, n_chars int, link_density double, text_density double, "
+    "cls string, conf double, "
+    "candidates array<struct<cls:string,score:double>>, "
+    "n_chars int, link_density double, text_density double, "
     "boiler_ctx boolean"
+)
+
+_CANDIDATES_TYPE = pa.list_(
+    pa.struct([pa.field("cls", pa.string()), pa.field("score", pa.float64())])
 )
 
 _BLOCKS_ARROW = pa.schema(
@@ -123,6 +129,8 @@ _BLOCKS_ARROW = pa.schema(
         pa.field("tag", pa.string()),
         pa.field("text", pa.string()),
         pa.field("cls", pa.string()),
+        pa.field("conf", pa.float64()),
+        pa.field("candidates", _CANDIDATES_TYPE),
         pa.field("n_chars", pa.int32()),
         pa.field("link_density", pa.float64()),
         pa.field("text_density", pa.float64()),
@@ -144,7 +152,7 @@ def blocks_kernel_arrow(cfg: KernelConfig = DEFAULT_CONFIG):
             cols: dict[str, list] = {
                 k: []
                 for k in (
-                    "url block_id depth tag text cls n_chars "
+                    "url block_id depth tag text cls conf candidates n_chars "
                     "link_density text_density boiler_ctx".split()
                 )
             }
@@ -157,6 +165,10 @@ def blocks_kernel_arrow(cfg: KernelConfig = DEFAULT_CONFIG):
                     cols["tag"].append(b.tag)
                     cols["text"].append(b.text)
                     cols["cls"].append(b.cls)
+                    cols["conf"].append(b.conf)
+                    cols["candidates"].append(
+                        [{"cls": c, "score": s} for (c, s) in b.candidates]
+                    )
                     cols["n_chars"].append(b.n_chars)
                     cols["link_density"].append(b.link_density)
                     cols["text_density"].append(b.text_density)
@@ -169,6 +181,8 @@ def blocks_kernel_arrow(cfg: KernelConfig = DEFAULT_CONFIG):
                     pa.array(cols["tag"], pa.string()),
                     pa.array(cols["text"], pa.string()),
                     pa.array(cols["cls"], pa.string()),
+                    pa.array(cols["conf"], pa.float64()),
+                    pa.array(cols["candidates"], _CANDIDATES_TYPE),
                     pa.array(cols["n_chars"], pa.int32()),
                     pa.array(cols["link_density"], pa.float64()),
                     pa.array(cols["text_density"], pa.float64()),

@@ -208,6 +208,89 @@ def test_span_invariant():
         assert "\n" not in r.text[s:e]
 
 
+# -- per-block confidence (C2 candidates / C3 conf-keyed absorb) --------------
+
+
+def test_confidence_high_for_long_clean_content():
+    r = extract(_page(f"<p>{LONG} {LONG}</p>"))
+    b = next(x for x in r.blocks if x.cls == "content")
+    assert b.conf > 0.6
+    # candidates: all three classes, desc, normalized, agree with cls
+    assert [c for c, _s in b.candidates][0] == "content"
+    assert abs(sum(s for _c, s in b.candidates) - 1.0) < 0.01
+    assert len(b.candidates) == 3
+
+
+def test_confidence_low_for_promoted_stub():
+    # W2-promoted 11-char block: content label, low margin
+    r = extract(_page(f"<p>{LONG}</p><p>tiny but ok</p><p>{LONG}</p>"))
+    stub = next(x for x in r.blocks if x.text == "tiny but ok")
+    assert stub.cls == "content"
+    assert stub.conf < DEFAULT_CONFIG.absorb_conf
+
+
+def test_confidence_boilerplate_for_link_dense():
+    nav = '<div><a href="/a">one two three four five six</a> x</div>'
+    r = extract(_page(nav + f"<p>{LONG}</p>"))
+    b = next(x for x in r.blocks if x.cls == "boilerplate")
+    assert b.candidates[0][0] == "boilerplate"
+    assert b.conf >= 0.4
+
+
+def test_absorb_keyed_on_confidence():
+    # the promoted stub has conf < absorb_conf and len <= 0.4*prev:
+    # C3 absorbs it into the preceding block (no separate span)
+    r = extract(_page(f"<p>{LONG}</p><p>tiny but ok</p><p>{LONG}</p>"))
+    assert "tiny but ok" in r.text
+    joined = r.text.replace("\n", " ")
+    assert f"{LONG} tiny but ok" in joined  # merged, not a standalone block
+    texts = [r.text[s:e] for (_b, s, e, _c) in r.spans]
+    assert "tiny but ok" not in texts
+
+
+# -- plain-text passthrough (C2 dispatch: text/plain payloads) -----------------
+
+
+def test_plain_text_payload_extracted():
+    raw = (
+        "A plain text README style document with enough words to be content.\n"
+        "\n"
+        "Second paragraph of the plain document, also long enough to keep.\n"
+    ).encode()
+    r = extract(raw)
+    assert "plain_text" in r.flags
+    assert "README style document" in r.text
+    assert "Second paragraph" in r.text
+
+
+def test_plain_text_with_bare_less_than_still_plain():
+    raw = b"when a < b and b < 10 the relation holds for every small number here"
+    r = extract(raw)
+    assert "plain_text" in r.flags
+    assert "the relation holds" in r.text
+
+
+def test_xml_like_payload_goes_through_markup_path():
+    raw = (
+        b"<?xml version='1.0'?><rss><channel><item><description>"
+        b"an rss description long enough to be treated as page content here"
+        b"</description></item></channel></rss>"
+    )
+    r = extract(raw)
+    assert "plain_text" not in r.flags
+    assert "rss description" in r.text
+
+
+def test_corpus_flags_distribution():
+    # generated pages are all HTML: none may take the plain-text route,
+    # and none may error (the dispatch must not misroute markup)
+    pages = gen_pages_table("/root/testdata/sf0.001/documents.parquet")
+    for i in range(200):
+        r = extract(pages.column("html")[i].as_py())
+        assert "plain_text" not in r.flags
+        assert "error" not in r.flags
+
+
 # -- robustness ---------------------------------------------------------------
 
 
