@@ -146,6 +146,101 @@ def minhash_duck(shingles: str, k: int) -> list[str]:
     return [e.replace("__P__", p) for e in minhash_from_pairs_duck("__P__", k)]
 
 
+# -- production-width minhash (k up to 128) ----------------------------------
+# The 14-hex (56-bit) halves above cap k at 63 under signed-bigint ANSI
+# math (h1 + (k-1)*h2 < 2^56 * k).  For k=128 use 13-hex (52-bit)
+# halves: max h1 + 127*h2 < 2^52 * 128 = 2^59 — safe in both engines.
+
+MINHASH_WIDE_K = 128
+
+
+def minhash_pairs_wide_spark(shingles: str) -> str:
+    return (
+        f"transform({shingles}, s -> named_struct("
+        f"'h1', {_hn_spark('md5(s)', 1, 13)}, 'h2', {_hn_spark('md5(s)', 14, 13)}))"
+    )
+
+
+def minhash_pairs_wide_duck(shingles: str) -> str:
+    return (
+        f"list_transform({shingles}, s -> "
+        f"{{'h1': {_hn_duck('md5(s)', 1, 13)}, 'h2': {_hn_duck('md5(s)', 14, 13)}}})"
+    )
+
+
+def _hn_spark(hexpr: str, off: int, n: int) -> str:
+    return f"cast(conv(substr({hexpr}, {off}, {n}), 16, 10) as bigint)"
+
+
+def _hn_duck(hexpr: str, off: int, n: int) -> str:
+    return f"cast('0x' || substr({hexpr}, {off}, {n}) as bigint)"
+
+
+# -- 64-bit simhash as two 32-bit halves (bigint-safe in both engines) -------
+# Two salted md5s per word (lo/hi), 32 bits each; the Spark side folds
+# ONE aggregate with an array<long> vote state (2 md5 per word total);
+# the DuckDB oracle states the same votes as 64 independent list_sums —
+# different plan, identical values.
+
+SIMHASH64_MASK32 = (1 << 32) - 1
+
+
+def simhash64_pairs_spark(words: str) -> str:
+    lo = hash60_spark("w", "s64lo")
+    hi = hash60_spark("w", "s64hi")
+    return (
+        f"transform({words}, w -> named_struct("
+        f"'lo', ({lo} & {SIMHASH64_MASK32}), 'hi', ({hi} & {SIMHASH64_MASK32})))"
+    )
+
+
+def simhash64_votes_spark(pairs_col: str) -> str:
+    """array<long> of 64 bit-votes, one pass over the hash pairs."""
+    bits = (
+        "transform(sequence(0, 63), i -> case when i < 32 "
+        "then (shiftright(h.lo, i) & 1) else (shiftright(h.hi, i - 32) & 1) end)"
+    )
+    return (
+        f"aggregate({pairs_col}, "
+        f"transform(sequence(0, 63), i -> 0L), "
+        f"(acc, h) -> zip_with(acc, {bits}, "
+        f"(a, bit) -> a + (case when bit = 1 then 1L else -1L end)))"
+    )
+
+
+def simhash64_half_spark(votes_col: str, half: str) -> str:
+    """Collapse 32 votes into a 32-bit half ('lo' -> bits 0..31)."""
+    off = 1 if half == "lo" else 33
+    return (
+        f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+        f"(case when element_at({votes_col}, i + {off}) > 0 "
+        f"then shiftleft(1L, i) else 0L end))"
+    )
+
+
+def simhash64_pairs_duck(words: str) -> str:
+    lo = hash60_duck("w", "s64lo")
+    hi = hash60_duck("w", "s64hi")
+    return (
+        f"list_transform({words}, w -> "
+        f"{{'lo': ({lo} & {SIMHASH64_MASK32}), 'hi': ({hi} & {SIMHASH64_MASK32})}})"
+    )
+
+
+def simhash64_half_duck(pairs_col: str, half: str) -> str:
+    """32-bit half from 32 independent vote sums (oracle-side; values
+    identical to the Spark fold)."""
+    terms = []
+    for b in range(32):
+        src = f"h.{half}"
+        vote = (
+            f"list_sum(list_transform({pairs_col}, h -> "
+            f"case when (({src} >> {b}) & 1) = 1 then 1 else -1 end))"
+        )
+        terms.append(f"(case when {vote} > 0 then {1 << b}::bigint else 0::bigint end)")
+    return "(" + " + ".join(terms) + ")"
+
+
 # -- cosine similarity over array<float> embeddings --------------------------
 # Left-to-right folds in both engines over doubles => bit-identical sums.
 

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     multimodal,
     relational,
     scalar_fns,
+    simhash64,
     similarity,
     temporal,
     textstats,

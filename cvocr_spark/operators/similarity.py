@@ -65,9 +65,76 @@ def cosine_topk_sql(n_queries: int = 5, k: int = 5) -> str:
     """
 
 
-def cosine_neardup_pairs(emb: DataFrame, limit_id: int = 100, threshold: float = 0.995) -> DataFrame:
+MAX_BUCKET = 2000  # hot-bucket guard for the neardup self-join
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    limit_id: int = 100,
+    threshold: float = 0.995,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
     """Embedding-cosine near-dup pairs among vec_id < limit_id, with
-    injected exact copies (vec_id + 100000) so the fixture is non-empty."""
+    injected exact copies (vec_id + 100000) so the fixture is non-empty.
+
+    SCALE PATH (VERDICT r1): the self-join runs WITHIN sign-projection
+    LSH buckets, never all-pairs — at 0.995 cosine two vectors almost
+    surely share every hyperplane sign, so per-bucket joins find them
+    while the cross product never materializes.  Buckets above
+    ``max_bucket`` are dropped (skew guard).  Recall < 1 by
+    construction (disclosed); tests/test_ann.py measures it against the
+    bounded exact form below."""
+    base = emb.filter(F.col("vec_id") < limit_id)
+    dups = base.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = base.unionByName(dups).withColumn("bkt", F.expr(_bucket_expr_spark()))
+    sizes = corpus.groupBy("bkt").agg(F.count("*").alias("bucket_n"))
+    safe = corpus.join(
+        sizes.filter(F.col("bucket_n") <= max_bucket), "bkt"
+    ).drop("bucket_n")
+    a = safe.select("bkt", F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = safe.select("bkt", F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, ["bkt"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(F.expr(P.cosine_spark("ea", "eb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+        .distinct()
+    )
+
+
+def cosine_neardup_pairs_sql(
+    limit_id: int = 100, threshold: float = 0.995, max_bucket: int = MAX_BUCKET
+) -> str:
+    cos = P.cosine_duck("x.ea", "y.eb")
+    return f"""
+    WITH corpus0 AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {limit_id}
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id < {limit_id} AND vec_id % 20 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding, {_bucket_expr_duck('corpus0')} AS bkt FROM corpus0
+    ),
+    safe AS (
+      SELECT vec_id, embedding, bkt FROM (
+        SELECT *, count(*) OVER (PARTITION BY bkt) AS bucket_n FROM corpus
+      ) WHERE bucket_n <= {max_bucket}
+    ),
+    x AS (SELECT bkt, vec_id AS a, embedding AS ea FROM safe),
+    y AS (SELECT bkt, vec_id AS b, embedding AS eb FROM safe)
+    SELECT DISTINCT a, b, round({cos}, 6) AS sim
+    FROM x JOIN y USING (bkt)
+    WHERE a < b AND round({cos}, 6) >= {threshold}
+    """
+
+
+def cosine_neardup_exact(emb: DataFrame, limit_id: int = 100, threshold: float = 0.995) -> DataFrame:
+    """All-pairs exact form — the BOUNDED verifier/recall baseline only
+    (never run unbounded; the named operator is the LSH-routed one)."""
     base = emb.filter(F.col("vec_id") < limit_id)
     dups = base.filter(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + 100000
@@ -81,23 +148,6 @@ def cosine_neardup_pairs(emb: DataFrame, limit_id: int = 100, threshold: float =
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
-
-
-def cosine_neardup_pairs_sql(limit_id: int = 100, threshold: float = 0.995) -> str:
-    cos = P.cosine_duck("x.ea", "y.eb")
-    return f"""
-    WITH corpus AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {limit_id}
-      UNION ALL
-      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
-      WHERE vec_id < {limit_id} AND vec_id % 20 = 0
-    ),
-    x AS (SELECT vec_id AS a, embedding AS ea FROM corpus),
-    y AS (SELECT vec_id AS b, embedding AS eb FROM corpus)
-    SELECT a, b, round({cos}, 6) AS sim
-    FROM x JOIN y ON a < b
-    WHERE round({cos}, 6) >= {threshold}
-    """
 
 
 def _bucket_expr_spark() -> str:

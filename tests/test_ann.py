@@ -35,6 +35,25 @@ def test_numpy_ann_matches_exact_baseline(spark):
         assert es == fs, f"query {q}: {exact[q]} vs {fast[q]}"
 
 
+def test_lsh_neardup_recall_vs_exact(spark):
+    """The LSH-routed near-dup (the named operator) must find every
+    exact-copy pair the bounded all-pairs verifier finds: at 0.995
+    cosine the pair shares all hyperplane signs, so bucket-join recall
+    on exact copies is 1.0."""
+    from cvocr_spark.operators.similarity import (
+        cosine_neardup_exact,
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in cosine_neardup_exact(emb).collect()}
+    lsh = {(r["a"], r["b"]) for r in cosine_neardup_pairs(emb).collect()}
+    assert exact, "fixture must contain injected near-dups"
+    missed = exact - lsh
+    assert not missed, f"LSH route missed exact-copy pairs: {sorted(missed)[:5]}"
+    assert lsh <= exact  # no false positives (both verify exact cosine)
+
+
 def test_lsh_ann_self_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     rows = lsh_ann_topk(emb, n_queries=5, k=3).collect()
