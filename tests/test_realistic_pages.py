@@ -1,18 +1,65 @@
 """Hand-written realistic pages with hand-verified expected extraction —
-the generator-independent credibility check (the synthetic-corpus
-roundtrip can't catch a kernel that is only good at the generator's
-shapes)."""
+the generator-independent credibility check (VERDICT r1 item 4: the
+synthetic-corpus roundtrip can't catch a kernel that is only good at
+the generator's shapes).
+
+20 pages covering shapes the fixture generator never emits: comment
+threads, infoboxes/tables mixing prose and cells, cookie-consent
+interstitials, paginated article stubs, non-English pages (de/fr/zh),
+forum listings, recipes, code-heavy docs, marketing landers, search
+results, error pages, e-commerce, plain text.
+
+Metrics (char-weighted, reported per page and aggregate; definitions
+documented in BENCH/BASELINE.md):
+  * recall    = matched keep-chars / total keep-chars — `keep` lists
+    the page's true content lines in kernel-normalized form.
+  * precision = 1 - violating drop-chars / extracted chars — `drop`
+    lists boilerplate strings that must not be extracted.
+The aggregate floors are asserted; per-page numbers are written to
+tests/goldens/realistic_metrics.json for the bench record.
+"""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+from dataclasses import dataclass, field
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cvocr_spark.kernel import extract  # noqa: E402
 
-NEWS_PAGE = b"""<!DOCTYPE html>
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+@dataclass
+class Page:
+    name: str
+    html: bytes
+    keep: list = field(default_factory=list)   # normalized content substrings
+    drop: list = field(default_factory=list)   # boiler substrings that must not leak
+
+
+PAGES: list[Page] = []
+
+
+def _page(name, html, keep, drop):
+    PAGES.append(Page(name, html if isinstance(html, bytes) else html.encode(), keep, drop))
+
+
+_CHROME_TOP = """<header><div class="logo"><a href="/">Example Site</a></div>
+<nav><ul><li><a href="/one">Section One</a></li><li><a href="/two">Section Two</a></li>
+<li><a href="/login">Log in</a></li><li><a href="/join">Sign up free</a></li></ul></nav></header>"""
+_CHROME_BOTTOM = """<footer><p>copyright 2025 example site inc</p>
+<ul><li><a href="/terms">terms of use</a></li><li><a href="/privacy">privacy policy</a></li>
+<li><a href="/cookies">cookie settings</a></li></ul></footer>"""
+
+
+# -- 1. news article (round-1 page, kept) -------------------------------------
+_page(
+    "news_article",
+    b"""<!DOCTYPE html>
 <html><head><title>City council approves budget - Example Times</title>
 <meta charset="utf-8"><script src="/t.js"></script>
 <style>.c{color:red}</style></head>
@@ -39,30 +86,24 @@ that an earlier draft had cut.</p>
 <li><a href="/a2">New stadium plan</a></li></ul></aside>
 <footer><p>copyright 2025 example times</p>
 <ul><li><a href="/terms">terms</a></li><li><a href="/privacy">privacy</a></li></ul></footer>
-</body></html>"""
+</body></html>""",
+    keep=[
+        "City council approves next year's budget after marathon session",
+        "The city council voted 7-2 on Tuesday night to approve a budget that "
+        "increases funding for road maintenance while trimming administrative "
+        "costs across most departments.",
+        "Council members debated for nearly six hours before reaching an "
+        "agreement, with the final compromise restoring funding for the public "
+        "library system that an earlier draft had cut.",
+        "The budget takes effect at the start of the next fiscal year.",
+    ],
+    drop=["Politics", "BUY NOW", "Most read", "copyright", "Log in"],
+)
 
-NEWS_EXPECTED = [
-    "City council approves next year's budget after marathon session",
-    "The city council voted 7-2 on Tuesday night to approve a budget that "
-    "increases funding for road maintenance while trimming administrative "
-    "costs across most departments.",
-    "Council members debated for nearly six hours before reaching an "
-    "agreement, with the final compromise restoring funding for the public "
-    "library system that an earlier draft had cut.",
-    "The budget takes effect at the start of the next fiscal year.",
-]
-
-
-def test_news_page_extraction():
-    r = extract(NEWS_PAGE)
-    got = r.text.split("\n")
-    # every expected content line present, in order, nothing from chrome
-    assert got == NEWS_EXPECTED or " ".join(got) == " ".join(NEWS_EXPECTED), got
-    for banned in ("Politics", "BUY NOW", "Most read", "copyright", "Log in"):
-        assert banned not in r.text
-
-
-BLOG_PAGE = b"""<html><head><meta charset="utf-8"><title>b</title></head><body>
+# -- 2. blog with list items (round-1 page, kept) ------------------------------
+_page(
+    "blog_with_lists",
+    b"""<html><head><meta charset="utf-8"><title>b</title></head><body>
 <div id="nav"><a href="/">home</a> | <a href="/about">about</a> | <a href="/rss">rss</a></div>
 <div id="post">
 <h2>Why we rewrote our ingestion pipeline</h2>
@@ -79,30 +120,573 @@ clever the parser.</p>
 <p>Six months later the same job finishes before midnight.</p>
 </div>
 <div id="comments"><a href="/c1">12 comments</a> <a href="/reply">reply</a></div>
-</body></html>"""
+</body></html>""",
+    keep=[
+        "Why we rewrote our ingestion pipeline",
+        "Last spring our nightly batch started missing its deadline, and every "
+        "fix we tried bought us a week at most before the backlog returned.",
+        "We eventually concluded the problem was architectural: a single machine "
+        "simply cannot parse forty terabytes of markup in a night, no matter how "
+        "clever the parser.",
+        "Partition the corpus by url hash so no host can hot-spot a worker.",
+        "Keep every per-document step inside one vectorized stage boundary.",
+        "Write per-partition manifests so a failed run resumes exactly.",
+        "Six months later the same job finishes before midnight.",
+    ],
+    drop=["12 comments", "reply", "about"],
+)
 
-
-def test_blog_page_with_list_items():
-    r = extract(BLOG_PAGE)
-    assert "Why we rewrote our ingestion pipeline" in r.text
-    assert "forty terabytes" in r.text
-    assert "Partition the corpus by url hash" in r.text
-    assert "Keep every per-document step" in r.text
-    assert "finishes before midnight" in r.text
-    assert "12 comments" not in r.text
-    assert "home" not in r.text.split()
-
-
-TABLE_PAGE = b"""<html><body>
+# -- 3. table page (round-1 page, kept) ----------------------------------------
+_page(
+    "table_mixed",
+    b"""<html><body>
 <table><tr><th>quarter</th><th>revenue</th></tr>
 <tr><td>Q1</td><td>1.2M</td></tr><tr><td>Q2</td><td>1.4M</td></tr></table>
 <p>Revenue grew steadily across the first half of the year, driven mostly by
 the subscription business and a one-time licensing deal signed in March.</p>
-</body></html>"""
+</body></html>""",
+    keep=[
+        "Revenue grew steadily across the first half of the year, driven mostly "
+        "by the subscription business and a one-time licensing deal signed in March.",
+    ],
+    drop=["Q1", "1.2M", "quarter"],
+)
+
+# -- 4. comment thread ---------------------------------------------------------
+_page(
+    "comment_thread",
+    _CHROME_TOP
+    + """<main><article>
+<h1>Understanding backpressure in streaming systems and why it matters</h1>
+<p>Backpressure is the mechanism by which a slow consumer tells a fast
+producer to ease off before queues overflow, and it is the difference
+between a pipeline that degrades gracefully and one that falls over.</p>
+</article>
+<section class="comments">
+<h3>Comments</h3>
+<div class="comment"><span class="author"><a href="/u/1">dataphan</a></span>
+<p>We hit exactly this last year and ended up adding a bounded queue between
+the two stages, which solved the crashes but introduced latency spikes that
+took another month to understand properly.</p>
+<a href="/vote">upvote</a> <a href="/reply">reply</a></div>
+<div class="comment"><span class="author"><a href="/u/2">sre_kate</a></span>
+<p>The article undersells how hard it is to pick the right buffer size when
+the downstream latency distribution has a long tail in production traffic.</p>
+<a href="/vote">upvote</a> <a href="/reply">reply</a></div>
+</section></main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "Understanding backpressure in streaming systems and why it matters",
+        "Backpressure is the mechanism by which a slow consumer tells a fast "
+        "producer to ease off before queues overflow, and it is the difference "
+        "between a pipeline that degrades gracefully and one that falls over.",
+        # comments ARE user text a training pipeline wants
+        "We hit exactly this last year and ended up adding a bounded queue "
+        "between the two stages, which solved the crashes but introduced latency "
+        "spikes that took another month to understand properly.",
+        "The article undersells how hard it is to pick the right buffer size "
+        "when the downstream latency distribution has a long tail in production "
+        "traffic.",
+    ],
+    drop=["upvote", "Log in", "Sign up free", "copyright 2025 example site"],
+)
+
+# -- 5. wiki-style infobox + prose ----------------------------------------------
+_page(
+    "wiki_infobox",
+    _CHROME_TOP
+    + """<main>
+<h1>Mount Karstfell</h1>
+<table class="infobox">
+<tr><th>Elevation</th><td>2,431 m</td></tr>
+<tr><th>Range</th><td><a href="/range">Northern Alps</a></td></tr>
+<tr><th>First ascent</th><td>1887</td></tr>
+</table>
+<p>Mount Karstfell is a limestone peak in the northern range whose summit
+ridge forms the watershed between two major river systems of the region.</p>
+<p>The first recorded ascent was made in 1887 by a survey team mapping the
+border, although local shepherds had almost certainly reached the summit
+ridge earlier while moving flocks between seasonal pastures.</p>
+<h2>Geology</h2>
+<p>The peak consists of heavily folded limestone laid down in a shallow sea
+and later uplifted, which explains both the extensive cave systems and the
+near-vertical strata visible on the east face.</p>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "Mount Karstfell is a limestone peak in the northern range whose summit "
+        "ridge forms the watershed between two major river systems of the region.",
+        "The first recorded ascent was made in 1887 by a survey team mapping the "
+        "border, although local shepherds had almost certainly reached the summit "
+        "ridge earlier while moving flocks between seasonal pastures.",
+        "The peak consists of heavily folded limestone laid down in a shallow "
+        "sea and later uplifted, which explains both the extensive cave systems "
+        "and the near-vertical strata visible on the east face.",
+    ],
+    drop=["Elevation", "2,431 m", "First ascent", "Section One"],
+)
+
+# -- 6. cookie-consent interstitial ---------------------------------------------
+_page(
+    "cookie_consent",
+    """<html><body>
+<div class="cookie-banner">We and our 132 partners use cookies to personalise
+content and ads and to analyse our traffic. <a href="/privacy">Read our
+cookie policy</a> or <a href="/manage">manage your preferences</a>.
+<button>Accept all</button><button>Reject all</button></div>
+"""
+    + _CHROME_TOP
+    + """<main><article>
+<h1>Ferry service resumes after two-week repair closure of the main dock</h1>
+<p>The harbour ferry returned to its normal timetable on Monday after
+engineers finished replacing the fender piles that a cargo barge damaged
+during the storm at the end of last month.</p>
+<p>Operators said the repair came in under budget because divers were able to
+reuse the original mounting hardware, and no further closures are planned
+for the remainder of the season.</p>
+</article></main>"""
+    + _CHROME_BOTTOM
+    + "</body></html>",
+    keep=[
+        "Ferry service resumes after two-week repair closure of the main dock",
+        "The harbour ferry returned to its normal timetable on Monday after "
+        "engineers finished replacing the fender piles that a cargo barge damaged "
+        "during the storm at the end of last month.",
+        "Operators said the repair came in under budget because divers were able "
+        "to reuse the original mounting hardware, and no further closures are "
+        "planned for the remainder of the season.",
+    ],
+    drop=["Accept all", "132 partners", "manage your preferences"],
+)
+
+# -- 7. paginated article stub ---------------------------------------------------
+_page(
+    "paginated_stub",
+    _CHROME_TOP
+    + """<main><article>
+<h1>The long decline of the regional sorting office, part one of three</h1>
+<p>When the sorting office opened in 1954 it handled mail for half the
+county, and three generations of the same families worked its floors before
+the volumes began to fall.</p>
+<p class="teaser">Continue reading on page two, where we follow the last
+night shift before the machines were switched off for good.</p>
+<div class="pagination"><a href="/p1">1</a> <a href="/p2">2</a>
+<a href="/p3">3</a> <a href="/next">Next page</a></div>
+</article></main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "The long decline of the regional sorting office, part one of three",
+        "When the sorting office opened in 1954 it handled mail for half the "
+        "county, and three generations of the same families worked its floors "
+        "before the volumes began to fall.",
+        "Continue reading on page two, where we follow the last night shift "
+        "before the machines were switched off for good.",
+    ],
+    drop=["Next page", "Section Two"],
+)
+
+# -- 8. German article ------------------------------------------------------------
+_page(
+    "german_article",
+    """<html><head><meta charset="utf-8"></head><body>
+<nav><a href="/start">Startseite</a> <a href="/politik">Politik</a>
+<a href="/anmelden">Anmelden</a></nav>
+<article>
+<h1>Gemeinderat beschließt neuen Radweg entlang der alten Bahntrasse</h1>
+<p>Der Gemeinderat hat am Dienstagabend mit großer Mehrheit beschlossen, den
+seit Jahren diskutierten Radweg entlang der stillgelegten Bahntrasse zu
+bauen und dafür Mittel aus dem Landesprogramm abzurufen.</p>
+<p>Die Bauarbeiten sollen im Frühjahr beginnen und noch vor dem Winter
+abgeschlossen sein, sofern die Genehmigung der Bezirksregierung rechtzeitig
+eintrifft.</p>
+</article>
+<footer><a href="/impressum">Impressum</a> <a href="/datenschutz">Datenschutz</a></footer>
+</body></html>""",
+    keep=[
+        "Gemeinderat beschließt neuen Radweg entlang der alten Bahntrasse",
+        "Der Gemeinderat hat am Dienstagabend mit großer Mehrheit beschlossen, "
+        "den seit Jahren diskutierten Radweg entlang der stillgelegten Bahntrasse "
+        "zu bauen und dafür Mittel aus dem Landesprogramm abzurufen.",
+        "Die Bauarbeiten sollen im Frühjahr beginnen und noch vor dem Winter "
+        "abgeschlossen sein, sofern die Genehmigung der Bezirksregierung "
+        "rechtzeitig eintrifft.",
+    ],
+    drop=["Anmelden", "Impressum", "Datenschutz"],
+)
+
+# -- 9. French article -------------------------------------------------------------
+_page(
+    "french_article",
+    """<html><head><meta charset="utf-8"></head><body>
+<nav><a href="/">Accueil</a> <a href="/actu">Actualités</a>
+<a href="/connexion">Connexion</a></nav>
+<article>
+<h1>La médiathèque municipale rouvrira ses portes au début du printemps</h1>
+<p>Après dix-huit mois de travaux, la médiathèque municipale rouvrira ses
+portes au public avec une salle de lecture agrandie et un fonds jeunesse
+entièrement renouvelé.</p>
+<p>La maire a précisé que le budget des travaux avait été tenu et que les
+horaires d'ouverture seraient élargis au samedi soir dès la réouverture.</p>
+</article>
+<footer><a href="/mentions">Mentions légales</a></footer>
+</body></html>""",
+    keep=[
+        "La médiathèque municipale rouvrira ses portes au début du printemps",
+        "Après dix-huit mois de travaux, la médiathèque municipale rouvrira ses "
+        "portes au public avec une salle de lecture agrandie et un fonds jeunesse "
+        "entièrement renouvelé.",
+        "La maire a précisé que le budget des travaux avait été tenu et que les "
+        "horaires d'ouverture seraient élargis au samedi soir dès la réouverture.",
+    ],
+    drop=["Connexion", "Mentions légales"],
+)
+
+# -- 10. Chinese article (no word spaces: stresses char-based rules) ---------------
+_page(
+    "chinese_article",
+    """<html><head><meta charset="utf-8"></head><body>
+<nav><a href="/">首页</a> <a href="/news">新闻</a> <a href="/login">登录</a></nav>
+<article>
+<h1>市图书馆新馆下月正式向公众开放并延长晚间服务时间</h1>
+<p>经过两年多的建设，市图书馆新馆将于下月正式向公众开放，新馆位于滨江文化区，
+总建筑面积约五万平方米，藏书容量是旧馆的三倍以上。</p>
+<p>图书馆负责人表示，新馆开放后将把晚间闭馆时间延长到十点，并在周末增设少儿
+阅读专场，方便上班族和学生读者安排时间。</p>
+</article>
+<footer>版权所有 示例新闻网</footer>
+</body></html>""",
+    keep=[
+        "市图书馆新馆下月正式向公众开放并延长晚间服务时间",
+        "经过两年多的建设，市图书馆新馆将于下月正式向公众开放，新馆位于滨江文化区， "
+        "总建筑面积约五万平方米，藏书容量是旧馆的三倍以上。",
+        "图书馆负责人表示，新馆开放后将把晚间闭馆时间延长到十点，并在周末增设少儿 "
+        "阅读专场，方便上班族和学生读者安排时间。",
+    ],
+    drop=["登录", "版权所有"],
+)
+
+# -- 11. forum thread listing (all links: near-zero content) ------------------------
+_page(
+    "forum_listing",
+    _CHROME_TOP
+    + """<main><h2>Latest threads</h2>
+<table class="threads">
+<tr><td><a href="/t/1">Help with flaky integration tests</a></td><td>14 replies</td></tr>
+<tr><td><a href="/t/2">Show: my weekend parser project</a></td><td>3 replies</td></tr>
+<tr><td><a href="/t/3">Why is my shuffle so slow</a></td><td>41 replies</td></tr>
+<tr><td><a href="/t/4">Hiring thread for the autumn</a></td><td>102 replies</td></tr>
+</table>
+<div class="pager"><a href="/page/2">older threads</a></div>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[],  # an index page has no main content — correct output is (near) empty
+    drop=[
+        "Help with flaky integration tests",
+        "older threads",
+        "Sign up free",
+    ],
+)
+
+# -- 12. recipe -----------------------------------------------------------------------
+_page(
+    "recipe",
+    _CHROME_TOP
+    + """<main><article>
+<h1>Weeknight lentil soup that actually tastes like something</h1>
+<p>This is the soup I make when the fridge is nearly empty: one pot, forty
+minutes, and it reheats better the next day than it tastes the first night.</p>
+<h2>Ingredients</h2>
+<ul>
+<li>two cups of brown lentils, rinsed and picked over for stones</li>
+<li>one large onion, diced, plus two carrots and two celery stalks</li>
+<li>a tin of chopped tomatoes and a litre of vegetable stock</li>
+</ul>
+<h2>Method</h2>
+<p>Sweat the onion, carrot and celery with a pinch of salt until soft, add
+the lentils and tomatoes, cover with stock and simmer until the lentils
+collapse, then finish with lemon juice and plenty of black pepper.</p>
+</article></main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "Weeknight lentil soup that actually tastes like something",
+        "This is the soup I make when the fridge is nearly empty: one pot, forty "
+        "minutes, and it reheats better the next day than it tastes the first night.",
+        "two cups of brown lentils, rinsed and picked over for stones",
+        "one large onion, diced, plus two carrots and two celery stalks",
+        "a tin of chopped tomatoes and a litre of vegetable stock",
+        "Sweat the onion, carrot and celery with a pinch of salt until soft, add "
+        "the lentils and tomatoes, cover with stock and simmer until the lentils "
+        "collapse, then finish with lemon juice and plenty of black pepper.",
+    ],
+    drop=["Log in", "cookie settings"],
+)
+
+# -- 13. docs page with code blocks ----------------------------------------------------
+_page(
+    "docs_code",
+    _CHROME_TOP
+    + """<main>
+<h1>Configuring the retry policy for outbound requests in the client</h1>
+<p>The client retries idempotent requests automatically, and the policy
+below controls how many attempts are made and how the backoff grows
+between them.</p>
+<pre>retry:
+  max_attempts: 5
+  backoff_base_ms: 200
+  backoff_multiplier: 2.0
+  retry_on: [timeout, connection_reset]</pre>
+<p>Setting max_attempts to one disables retries entirely, which is the right
+choice for endpoints that are not idempotent, such as payment submission.</p>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "Configuring the retry policy for outbound requests in the client",
+        "The client retries idempotent requests automatically, and the policy "
+        "below controls how many attempts are made and how the backoff grows "
+        "between them.",
+        "retry: max_attempts: 5 backoff_base_ms: 200 backoff_multiplier: 2.0 "
+        "retry_on: [timeout, connection_reset]",
+        "Setting max_attempts to one disables retries entirely, which is the "
+        "right choice for endpoints that are not idempotent, such as payment "
+        "submission.",
+    ],
+    drop=["Section One", "terms of use"],
+)
+
+# -- 14. marketing lander ----------------------------------------------------------------
+_page(
+    "marketing_lander",
+    """<html><body>
+<nav><a href="/">Acme</a> <a href="/pricing">Pricing</a> <a href="/demo">Get a demo</a></nav>
+<main>
+<h1>Ship data pipelines your whole team can actually understand</h1>
+<p>Acme turns your scattered cron jobs into one declarative pipeline with
+lineage, retries and alerting built in, so the person on call at three in
+the morning can see exactly which upstream broke and why.</p>
+<div class="cta"><a href="/signup">Start free trial</a></div>
+<h2>Loved by data teams</h2>
+<p>Teams tell us the biggest change is cultural: when every dataset has a
+visible owner and a freshness contract, the weekly argument about whose
+numbers are right simply stops happening.</p>
+</main>
+<footer><a href="/about">about</a> <a href="/careers">careers</a> © acme inc</footer>
+</body></html>""",
+    keep=[
+        "Ship data pipelines your whole team can actually understand",
+        "Acme turns your scattered cron jobs into one declarative pipeline with "
+        "lineage, retries and alerting built in, so the person on call at three "
+        "in the morning can see exactly which upstream broke and why.",
+        "Teams tell us the biggest change is cultural: when every dataset has a "
+        "visible owner and a freshness contract, the weekly argument about whose "
+        "numbers are right simply stops happening.",
+    ],
+    drop=["Start free trial", "Get a demo", "careers"],
+)
+
+# -- 15. search results page ---------------------------------------------------------------
+_page(
+    "search_results",
+    _CHROME_TOP
+    + """<main><h2>Results for "lentil soup"</h2>
+<div class="result"><a href="/r/1">Weeknight lentil soup recipe</a>
+<span class="snippet">one pot, forty minutes, reheats well...</span></div>
+<div class="result"><a href="/r/2">Red lentil curry soup</a>
+<span class="snippet">a spicier take with coconut milk...</span></div>
+<div class="result"><a href="/r/3">Lentil soup freezer guide</a>
+<span class="snippet">portioning and thawing tips...</span></div>
+<div class="pager"><a href="/s?p=2">more results</a></div>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[],  # a SERP has no main content either
+    drop=["Weeknight lentil soup recipe", "more results", "Sign up free"],
+)
+
+# -- 16. 404 error page ----------------------------------------------------------------------
+_page(
+    "error_404",
+    _CHROME_TOP
+    + """<main><h1>Page not found</h1>
+<p>The page you were looking for has been moved or no longer exists; check
+the address for typos or head back to the front page to start again.</p>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        # the apology paragraph IS the page's only text; keeping it is the
+        # defensible call (quality filters downstream handle 404 text)
+        "The page you were looking for has been moved or no longer exists; "
+        "check the address for typos or head back to the front page to start "
+        "again.",
+    ],
+    drop=["Section One", "copyright"],
+)
+
+# -- 17. e-commerce product page ---------------------------------------------------------------
+_page(
+    "product_page",
+    _CHROME_TOP
+    + """<main>
+<h1>Fjellvann 30L waterproof hiking pack</h1>
+<div class="buy"><span class="price">€89</span>
+<a href="/cart">Add to cart</a> <a href="/wishlist">Save</a></div>
+<h2>Description</h2>
+<p>The Fjellvann 30 is a fully welded roll-top pack built for wet-weather
+day hikes, with a stiffened back panel that keeps the load stable on
+scrambles and a side zip that reaches the bottom of the main compartment.</p>
+<p>The hip belt is removable and the shoulder straps take the same padding
+as our larger expedition packs, which is why this bag carries heavier loads
+more comfortably than anything else in its size class.</p>
+<ul class="specs"><li>volume 30 litres</li><li>weight 840 grams</li></ul>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "Fjellvann 30L waterproof hiking pack",
+        "The Fjellvann 30 is a fully welded roll-top pack built for wet-weather "
+        "day hikes, with a stiffened back panel that keeps the load stable on "
+        "scrambles and a side zip that reaches the bottom of the main compartment.",
+        "The hip belt is removable and the shoulder straps take the same padding "
+        "as our larger expedition packs, which is why this bag carries heavier "
+        "loads more comfortably than anything else in its size class.",
+    ],
+    drop=["Add to cart", "€89", "Save"],
+)
+
+# -- 18. newsletter/interstitial-heavy article ----------------------------------------------------
+_page(
+    "newsletter_heavy",
+    _CHROME_TOP
+    + """<main><article>
+<h1>What the harbour cranes tell you about the health of world trade</h1>
+<p>Counting active cranes from the hill above the container terminal turns
+out to track the published throughput statistics with surprising accuracy,
+about a quarter earlier than the official series is released.</p>
+<div class="newsletter"><h3>Enjoying this story?</h3>
+<p><a href="/subscribe">Subscribe to our free weekly newsletter</a> and never
+miss a dispatch from the waterfront.</p></div>
+<p>The method fails in fog season, which is also when the port authority's
+own numbers are at their least reliable, so the two series disagree most
+exactly when both are least trustworthy.</p>
+</article></main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "What the harbour cranes tell you about the health of world trade",
+        "Counting active cranes from the hill above the container terminal turns "
+        "out to track the published throughput statistics with surprising "
+        "accuracy, about a quarter earlier than the official series is released.",
+        "The method fails in fog season, which is also when the port authority's "
+        "own numbers are at their least reliable, so the two series disagree most "
+        "exactly when both are least trustworthy.",
+    ],
+    drop=["Subscribe to our free weekly newsletter", "Enjoying this story?"],
+)
+
+# -- 19. plain text payload ------------------------------------------------------------------------
+_page(
+    "plain_text_readme",
+    b"""INSTALLATION NOTES
+
+Unpack the archive into a directory of your choice and run the bootstrap
+script once as a regular user; it creates a local configuration file and
+never needs root.
+
+If the bootstrap reports a missing compiler, install the build tools for
+your platform and run it again; partial installs are safe to repeat.""",
+    keep=[
+        "Unpack the archive into a directory of your choice and run the "
+        "bootstrap script once as a regular user; it creates a local "
+        "configuration file and never needs root.",
+        "If the bootstrap reports a missing compiler, install the build tools "
+        "for your platform and run it again; partial installs are safe to repeat.",
+    ],
+    drop=[],
+)
+
+# -- 20. dl/blockquote longform --------------------------------------------------------------------
+_page(
+    "interview_blockquote",
+    _CHROME_TOP
+    + """<main><article>
+<h1>An oral history of the night the data centre flooded</h1>
+<p>Ten years on, the engineers who carried servers up two flights of stairs
+in ankle-deep water tell the story in their own words.</p>
+<blockquote>We knew the pumps had lost power when the fire doors started
+weeping, and from that moment we had maybe forty minutes before the water
+reached the bottom rack.</blockquote>
+<p>The facility reopened eleven days later with every pump on its own
+circuit, a change the industry quietly copied within a couple of years.</p>
+</article></main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "An oral history of the night the data centre flooded",
+        "Ten years on, the engineers who carried servers up two flights of "
+        "stairs in ankle-deep water tell the story in their own words.",
+        "We knew the pumps had lost power when the fire doors started weeping, "
+        "and from that moment we had maybe forty minutes before the water "
+        "reached the bottom rack.",
+        "The facility reopened eleven days later with every pump on its own "
+        "circuit, a change the industry quietly copied within a couple of years.",
+    ],
+    drop=["Section Two", "privacy policy"],
+)
 
 
-def test_table_page_keeps_prose_drops_cells():
-    r = extract(TABLE_PAGE)
-    assert "Revenue grew steadily" in r.text
-    # tiny isolated cells (Q1/Q2/1.2M) are below any content rule
-    assert "Q1" not in r.text
+# -- harness -----------------------------------------------------------------
+
+
+def _metrics(p: Page) -> dict:
+    r = extract(p.html)
+    joined = r.text.replace("\n", " ")
+    keep_total = sum(len(s) for s in p.keep)
+    keep_hit = sum(len(s) for s in p.keep if s in joined)
+    viol = sum(len(s) for s in p.drop if s in joined)
+    recall = keep_hit / keep_total if keep_total else 1.0
+    precision = 1.0 - (viol / len(joined)) if joined else 1.0
+    return {
+        "page": p.name,
+        "recall": round(recall, 4),
+        "precision": round(precision, 4),
+        "extracted_chars": len(r.text),
+        "missed": [s[:60] for s in p.keep if s not in joined],
+        "leaked": [s[:60] for s in p.drop if s in joined],
+    }
+
+
+def test_realistic_corpus_precision_recall():
+    rows = [_metrics(p) for p in PAGES]
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    mean_precision = sum(r["precision"] for r in rows) / len(rows)
+    out = {
+        "n_pages": len(rows),
+        "mean_recall": round(mean_recall, 4),
+        "mean_precision": round(mean_precision, 4),
+        "pages": rows,
+    }
+    with open(os.path.join(HERE, "goldens", "realistic_metrics.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    report = "\n".join(
+        f"{r['page']:22s} recall={r['recall']:.2f} precision={r['precision']:.2f}"
+        + (f" missed={r['missed']}" if r["missed"] else "")
+        + (f" leaked={r['leaked']}" if r["leaked"] else "")
+        for r in rows
+    )
+    assert mean_recall >= 0.9, f"mean recall {mean_recall:.3f}\n{report}"
+    assert mean_precision >= 0.95, f"mean precision {mean_precision:.3f}\n{report}"
+    for r in rows:
+        assert r["recall"] >= 0.5, f"{r['page']} recall collapsed\n{report}"
+        assert r["precision"] >= 0.8, f"{r['page']} precision collapsed\n{report}"
+
+
+def test_index_pages_extract_near_nothing():
+    """Link farms (forum listing, SERP) must yield (near-)empty text —
+    the shape where a naive length heuristic fails worst."""
+    for p in PAGES:
+        if p.name in ("forum_listing", "search_results"):
+            r = extract(p.html)
+            assert len(r.text) <= 60, f"{p.name}: leaked {r.text[:120]!r}"
+
+
+def test_plain_text_page_routes_and_extracts():
+    p = next(p for p in PAGES if p.name == "plain_text_readme")
+    r = extract(p.html)
+    assert "plain_text" in r.flags
+    for s in p.keep:
+        assert s in r.text.replace("\n", " ")
