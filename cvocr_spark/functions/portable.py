@@ -185,37 +185,10 @@ def _hn_duck(hexpr: str, off: int, n: int) -> str:
 SIMHASH64_MASK32 = (1 << 32) - 1
 
 
-def simhash64_pairs_spark(words: str) -> str:
-    lo = hash60_spark("w", "s64lo")
-    hi = hash60_spark("w", "s64hi")
-    return (
-        f"transform({words}, w -> named_struct("
-        f"'lo', ({lo} & {SIMHASH64_MASK32}), 'hi', ({hi} & {SIMHASH64_MASK32})))"
-    )
-
-
-def simhash64_votes_spark(pairs_col: str) -> str:
-    """array<long> of 64 bit-votes, one pass over the hash pairs."""
-    bits = (
-        "transform(sequence(0, 63), i -> case when i < 32 "
-        "then (shiftright(h.lo, i) & 1) else (shiftright(h.hi, i - 32) & 1) end)"
-    )
-    return (
-        f"aggregate({pairs_col}, "
-        f"transform(sequence(0, 63), i -> 0L), "
-        f"(acc, h) -> zip_with(acc, {bits}, "
-        f"(a, bit) -> a + (case when bit = 1 then 1L else -1L end)))"
-    )
-
-
-def simhash64_half_spark(votes_col: str, half: str) -> str:
-    """Collapse 32 votes into a 32-bit half ('lo' -> bits 0..31)."""
-    off = 1 if half == "lo" else 33
-    return (
-        f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
-        f"(case when element_at({votes_col}, i + {off}) > 0 "
-        f"then shiftleft(1L, i) else 0L end))"
-    )
+# (the Spark side builds its votes as 64 flat SUM aggregate columns in
+# operators/simhash64.py — higher-order-function folds proved 60x
+# slower than codegen'd flat expressions; only the DuckDB oracle uses
+# the list-expression form below)
 
 
 def simhash64_pairs_duck(words: str) -> str:

@@ -277,9 +277,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
     Returns (node, label) with label = min node id in the component.
     """
+    # both edge directions from ONE scan of the (possibly expensive)
+    # upstream pair pipeline — a two-branch union would evaluate it twice
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -289,6 +298,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # convergence probe: labels only DECREASE under min propagation, so
+    # the label sum strictly decreases every non-converged round and is
+    # equal iff nothing changed — one cheap agg action per round instead
+    # of a self-join diff
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -296,7 +310,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
@@ -304,15 +318,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels
 

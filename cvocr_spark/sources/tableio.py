@@ -108,6 +108,27 @@ def committed_buckets(io: ParquetTableIO, manifest_dir: str) -> set[int]:
     return {r["bucket"] for r in rows}
 
 
+def write_debug_sample(
+    pages: DataFrame,
+    out_dir: str,
+    one_in: int = 1000,
+    cfg: KernelConfig = DEFAULT_CONFIG,
+    io: ParquetTableIO | None = None,
+) -> None:
+    """Deterministic 1-in-N per-block debug sink — the graft of the
+    reference's intermediate debug artifacts (preprocess.h:532-534
+    region dumps, cut.h:203-214 patch images).  Sampling by url hash is
+    stable across runs, so the same pages are inspectable before and
+    after a kernel change; at 10^12 docs a one-in-a-million sample is
+    still a million fully-segmented pages of triage material for the
+    cost of a filter pushed down before the Arrow stage."""
+    from ..plans.job import extract_blocks
+
+    io = io or ParquetTableIO(pages.sparkSession)
+    sampled = pages.filter(F.pmod(F.xxhash64("url"), F.lit(one_in)) == 0)
+    io.append(extract_blocks(sampled, cfg=cfg), out_dir)
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
@@ -118,11 +139,14 @@ def run_extraction(
     max_buckets: int | None = None,
     cfg: KernelConfig = DEFAULT_CONFIG,
     io: ParquetTableIO | None = None,
+    debug_sample_one_in: int | None = None,
 ) -> dict:
     """One (possibly resumed) extraction run.  Returns run stats.
 
     ``max_buckets`` processes only the first k pending buckets — the
     test hook that simulates a run killed partway (SURVEY §5 item 6).
+    ``debug_sample_one_in`` additionally writes the classified blocks
+    of a deterministic 1-in-N url sample to <out_dir>_debug_blocks.
     """
     io = io or ParquetTableIO(spark)
     manifest_dir = manifest_dir or out_dir.rstrip("/") + "_manifest"
@@ -142,6 +166,12 @@ def run_extraction(
     extracted = extract_pages(pending, cfg=cfg)
     extracted = _with_bucket(extracted, n_buckets)  # recompute: deterministic fn of url
     io.write_partitioned(extracted, out_dir, "bucket")
+
+    if debug_sample_one_in is not None:
+        write_debug_sample(
+            pending, out_dir.rstrip("/") + "_debug_blocks",
+            one_in=debug_sample_one_in, cfg=cfg, io=io,
+        )
 
     # manifest derived from the WRITTEN data (not the in-flight plan), so a
     # bucket is committed iff its files are durably on disk

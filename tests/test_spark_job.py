@@ -169,3 +169,29 @@ def test_prefilter_prunes_empty_html(spark):
         "url string, html binary",
     ).withColumn("warc_ts", F.current_timestamp())
     assert extract_pages(pdf, salted=False).count() == 0
+
+
+def test_debug_sample_sink_deterministic(spark, pages):
+    """The 1-in-N debug blocks sink (reference debug artifacts,
+    preprocess.h:532-534): deterministic url sample, full block schema,
+    same urls on a re-run."""
+    from cvocr_spark.sources.tableio import write_debug_sample
+
+    d = tempfile.mkdtemp(prefix="cvocr_dbg_")
+    try:
+        write_debug_sample(pages, d + "/s1", one_in=10)
+        write_debug_sample(pages, d + "/s2", one_in=10)
+        s1 = spark.read.parquet(d + "/s1")
+        urls1 = {r["url"] for r in s1.select("url").distinct().collect()}
+        urls2 = {
+            r["url"]
+            for r in spark.read.parquet(d + "/s2").select("url").distinct().collect()
+        }
+        assert urls1 == urls2 and urls1  # deterministic, non-empty
+        n_pages = pages.count()
+        assert len(urls1) < n_pages / 5  # actually a sample
+        # full blocks schema incl. the confidence columns
+        for col in ("block_id", "cls", "conf", "candidates", "link_density"):
+            assert col in s1.columns
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
