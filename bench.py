@@ -196,18 +196,9 @@ def main() -> None:
         spark = _session(CPUS)
         n_docs = _gen_corpus(spark, pages_path)
 
-        # headline relational queries at SF_DIR (one warm + one timed)
-        contract = build_contract()
-        queries: dict[str, float] = {}
-        for name in HEADLINE:
-            fn, _sql = contract[name]
-            fn(spark, SF_DIR).count()  # warm (plan + scan cache)
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            queries[name] = round(time.perf_counter() - t0, 3)
-
         # extraction throughput at full parallelism (2 warm runs for JVM C2
         # + python-worker reuse, then 2 timed, best) — both pipeline layouts
+        queries: dict[str, float] = {}
         for i in range(2):
             _run_extract(spark, pages_path, os.path.join(tmp, f"w{i}"), None, False)
         t_bucketed = min(
@@ -229,68 +220,90 @@ def main() -> None:
         }
         spark.stop()
 
-        if DO_SCALING and time.perf_counter() - _T_START > BUDGET_S * 0.5:
-            # not enough budget left for the full two-level protocol —
-            # emit the JSON without a scaling block rather than risk the
-            # whole bench being killed mid-run (committed numbers live in
-            # BENCH/BASELINE.md)
-            result["scaling_skipped"] = "time budget"
-        elif DO_SCALING:
-            # ISO-FREQUENCY protocol (see BENCH/BASELINE.md): the N-core
-            # level is measured with the bench process (and hence the JVM
-            # + python workers) affinity-pinned to N cores while spinner
-            # processes load the remaining cores, so both cluster sizes
-            # run at the same all-core clock — as they would on a real
-            # cluster where 4N executors are 4x machines, not 4x load on
-            # the same silicon.  Hardware ceiling measured the same way,
-            # adjacent in time (the box throttles under sustained load).
-            hw = _hw_ceiling()
-            scal = {}
-            for cores in (8, 32):
-                spinners = []
-                if cores < CPUS:
-                    os.sched_setaffinity(0, range(cores))
-                    spinners = _start_spinners(set(range(cores, CPUS)))
-                try:
-                    mult = 3  # 600k docs/job: fixed job cost <5% even at 32c
-                    s = _session(cores)
-                    for i in range(2):  # JVM C2 + worker-reuse warmup
-                        _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}w{i}"), None, False, mult)
-                    ts = sorted(
-                        _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}{i}"), None, False, mult)
-                        for i in range(3)
-                    )
-                    # best-of-3 is the headline (throughput CAPABILITY on a
-                    # thermally-noisy box); the MEDIAN is recorded alongside
-                    # so the per-round JSON carries the distribution, not
-                    # just the flattering order statistic (VERDICT r1)
-                    scal[f"throughput_{cores}"] = round(mult * n_docs / ts[0], 1)
-                    scal[f"throughput_{cores}_median"] = round(mult * n_docs / ts[1], 1)
-                    scal[f"walls_{cores}"] = [round(t, 2) for t in ts]
-                    s.stop()
-                finally:
-                    if spinners:
-                        _stop_spinners(spinners)
-                        os.sched_setaffinity(0, range(CPUS))
-            scal["efficiency"] = round(
-                scal["throughput_32"] / (4.0 * scal["throughput_8"]), 3
-            )
-            scal["efficiency_median"] = round(
-                scal["throughput_32_median"] / (4.0 * scal["throughput_8_median"]), 3
-            )
-            scal.update(hw)
-            # clamp: if the flaky mp measurement claims super-linear hw
-            # scaling, the raw number needs no normalization
-            scal["efficiency_vs_hw_ceiling"] = round(
-                scal["efficiency"] / min(1.0, hw["hw_ceiling_efficiency"]), 3
-            )
-            result["scaling"] = scal
+        # the north-rule-critical block runs BEFORE the headline queries
+        # so it is never budget-starved by a slow query set
+        _do_scaling(result, tmp, pages_path, n_docs)
+
+        # headline relational queries at SF_DIR (one warm + one timed;
+        # the iterative clusters query is timed cold — its first run IS
+        # the honest cost, and a warm pass would double the wall)
+        spark = _session(CPUS)
+        contract = build_contract()
+        for name in HEADLINE:
+            fn, _sql = contract[name]
+            if name != "dedup_clusters":
+                fn(spark, SF_DIR).count()  # warm (plan + scan cache)
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            queries[name] = round(time.perf_counter() - t0, 3)
+        spark.stop()
 
         result["queries"] = queries
         result["value"] = round(sum(queries.values()), 3)
         print(json.dumps(result))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _do_scaling(result: dict, tmp: str, pages_path: str, n_docs: int) -> None:
+    if not DO_SCALING:
+        return
+    if time.perf_counter() - _T_START > BUDGET_S * 0.5:
+        # not enough budget left for the full two-level protocol —
+        # emit the JSON without a scaling block rather than risk the
+        # whole bench being killed mid-run (committed numbers live in
+        # BENCH/BASELINE.md)
+        result["scaling_skipped"] = "time budget"
+        return
+    # ISO-FREQUENCY protocol (see BENCH/BASELINE.md): the N-core
+    # level is measured with the bench process (and hence the JVM
+    # + python workers) affinity-pinned to N cores while spinner
+    # processes load the remaining cores, so both cluster sizes
+    # run at the same all-core clock — as they would on a real
+    # cluster where 4N executors are 4x machines, not 4x load on
+    # the same silicon.  Hardware ceiling measured the same way,
+    # adjacent in time (the box throttles under sustained load).
+    hw = _hw_ceiling()
+    scal = {}
+    for cores in (8, 32):
+        spinners = []
+        if cores < CPUS:
+            os.sched_setaffinity(0, range(cores))
+            spinners = _start_spinners(set(range(cores, CPUS)))
+        try:
+            mult = 3  # 600k docs/job: fixed job cost <5% even at 32c
+            s = _session(cores)
+            for i in range(2):  # JVM C2 + worker-reuse warmup
+                _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}w{i}"), None, False, mult)
+            ts = sorted(
+                _run_extract(s, pages_path, os.path.join(tmp, f"s{cores}{i}"), None, False, mult)
+                for i in range(3)
+            )
+            # best-of-3 is the headline (throughput CAPABILITY on a
+            # thermally-noisy box); the MEDIAN is recorded alongside
+            # so the per-round JSON carries the distribution, not
+            # just the flattering order statistic (VERDICT r1)
+            scal[f"throughput_{cores}"] = round(mult * n_docs / ts[0], 1)
+            scal[f"throughput_{cores}_median"] = round(mult * n_docs / ts[1], 1)
+            scal[f"walls_{cores}"] = [round(t, 2) for t in ts]
+            s.stop()
+        finally:
+            if spinners:
+                _stop_spinners(spinners)
+                os.sched_setaffinity(0, range(CPUS))
+    scal["efficiency"] = round(
+        scal["throughput_32"] / (4.0 * scal["throughput_8"]), 3
+    )
+    scal["efficiency_median"] = round(
+        scal["throughput_32_median"] / (4.0 * scal["throughput_8_median"]), 3
+    )
+    scal.update(hw)
+    # clamp: if the flaky mp measurement claims super-linear hw
+    # scaling, the raw number needs no normalization
+    scal["efficiency_vs_hw_ceiling"] = round(
+        scal["efficiency"] / min(1.0, hw["hw_ceiling_efficiency"]), 3
+    )
+    result["scaling"] = scal
 
 
 if __name__ == "__main__":
