@@ -341,6 +341,10 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: similarity.lsh_ann_topk(_t(s, d, "embeddings")),
         similarity.lsh_ann_topk_sql(),
     )
+    c["lsh_ann_multiprobe"] = (
+        lambda s, d: similarity.lsh_ann_multiprobe_topk(_t(s, d, "embeddings")),
+        similarity.lsh_ann_multiprobe_topk_sql(),
+    )
 
     def q_ann_numpy(s: SparkSession, d: str) -> DataFrame:
         # numpy-matmul vectorized ANN (scale path).  Float summation

