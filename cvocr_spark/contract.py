@@ -299,6 +299,14 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: simhash64.minhash_k128_digest(_t(s, d, "documents")),
         simhash64.minhash_k128_digest_sql(corpus=_DOCS),
     )
+    c["minhash_lsh_pairs_k128"] = (
+        # production banding: 16 bands x 8 rows over k=128 signatures —
+        # the S-curve config a template-heavy crawl needs (soak_dedup.py)
+        lambda s, d: dedup.minhash_lsh_pairs_wide(
+            dedup.with_injected_dups(_t(s, d, "documents"))
+        ),
+        dedup.minhash_lsh_pairs_wide_sql(corpus=dedup.injected_dups_sql()),
+    )
     c["minhash_lsh_pairs"] = (
         lambda s, d: dedup.minhash_lsh_pairs(dedup.with_injected_dups(_t(s, d, "documents"))),
         dedup.minhash_lsh_pairs_sql(corpus=dedup.injected_dups_sql()),

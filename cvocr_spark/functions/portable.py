@@ -98,34 +98,14 @@ def simhash_duck(words: str) -> str:
 # ANSI mode.  8x fewer md5 calls than salting the hash per function.
 
 
-def _h14_spark(hexpr: str, off: int) -> str:
-    return f"cast(conv(substr({hexpr}, {off}, 14), 16, 10) as bigint)"
-
-
-def _h14_duck(hexpr: str, off: int) -> str:
-    return f"cast('0x' || substr({hexpr}, {off}, 14) as bigint)"
-
-
-def minhash_pairs_spark(shingles: str) -> str:
-    """array<struct<h1,h2>> — materialize ONCE per row, then derive all k
-    minhashes from it (md5 is the expensive part)."""
-    return (
-        f"transform({shingles}, s -> named_struct("
-        f"'h1', {_h14_spark('md5(s)', 1)}, 'h2', {_h14_spark('md5(s)', 15)}))"
-    )
-
-
-def minhash_from_pairs_spark(pairs_col: str, k: int) -> list[str]:
-    return [
-        f"array_min(transform({pairs_col}, p -> p.h1 + {j}L * p.h2))"
-        for j in range(k)
-    ]
+# Spark-side signature computation lives in operators/dedup.py
+# (_minhash_sigs_flat); the oracle-only list forms below stay.
 
 
 def minhash_pairs_duck(shingles: str) -> str:
     return (
         f"list_transform({shingles}, s -> "
-        f"{{'h1': {_h14_duck('md5(s)', 1)}, 'h2': {_h14_duck('md5(s)', 15)}}})"
+        f"{{'h1': {hn_duck('md5(s)', 1, 14)}, 'h2': {hn_duck('md5(s)', 15, 14)}}})"
     )
 
 
@@ -136,43 +116,30 @@ def minhash_from_pairs_duck(pairs_col: str, k: int) -> list[str]:
     ]
 
 
-def minhash_spark(shingles: str, k: int) -> list[str]:
-    p = minhash_pairs_spark(shingles)
-    return [e.replace("__P__", p) for e in minhash_from_pairs_spark("__P__", k)]
-
-
-def minhash_duck(shingles: str, k: int) -> list[str]:
-    p = minhash_pairs_duck(shingles)
-    return [e.replace("__P__", p) for e in minhash_from_pairs_duck("__P__", k)]
-
-
 # -- production-width minhash (k up to 128) ----------------------------------
 # The 14-hex (56-bit) halves above cap k at 63 under signed-bigint ANSI
 # math (h1 + (k-1)*h2 < 2^56 * k).  For k=128 use 13-hex (52-bit)
 # halves: max h1 + 127*h2 < 2^52 * 128 = 2^59 — safe in both engines.
+# Spark-side signature computation lives in operators/dedup.py
+# (_minhash_sigs_flat: explode -> flat MIN aggregates — HOF array
+# expressions are interpreted, measured ~100ms/doc at k=128); only the
+# DuckDB oracle uses the list-expression form.
 
 MINHASH_WIDE_K = 128
-
-
-def minhash_pairs_wide_spark(shingles: str) -> str:
-    return (
-        f"transform({shingles}, s -> named_struct("
-        f"'h1', {_hn_spark('md5(s)', 1, 13)}, 'h2', {_hn_spark('md5(s)', 14, 13)}))"
-    )
 
 
 def minhash_pairs_wide_duck(shingles: str) -> str:
     return (
         f"list_transform({shingles}, s -> "
-        f"{{'h1': {_hn_duck('md5(s)', 1, 13)}, 'h2': {_hn_duck('md5(s)', 14, 13)}}})"
+        f"{{'h1': {hn_duck('md5(s)', 1, 13)}, 'h2': {hn_duck('md5(s)', 14, 13)}}})"
     )
 
 
-def _hn_spark(hexpr: str, off: int, n: int) -> str:
+def hn_spark(hexpr: str, off: int, n: int) -> str:
     return f"cast(conv(substr({hexpr}, {off}, {n}), 16, 10) as bigint)"
 
 
-def _hn_duck(hexpr: str, off: int, n: int) -> str:
+def hn_duck(hexpr: str, off: int, n: int) -> str:
     return f"cast('0x' || substr({hexpr}, {off}, {n}) as bigint)"
 
 

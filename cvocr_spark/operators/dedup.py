@@ -91,25 +91,38 @@ BANDS = 4  # 4 bands x 2 rows
 MAX_BUCKET = 100  # hot-bucket guard: band buckets larger than this are skipped
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """k minhashes over distinct 3-word shingles — pure per-row
-    expressions, zero shuffle.  One md5 per shingle (the costly part),
-    materialized as an (h1,h2) pair array in a first projection; the k
-    signature mins derive from it by double hashing h1 + j*h2."""
+def _minhash_sigs_flat(docs: DataFrame, k: int, off2: int, width: int) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) via explode -> flat MIN aggregates.
+
+    The higher-order-function form (array of (h1,h2) structs + k
+    array_min(transform(...)) per row) is interpreted expression eval —
+    measured ~100 ms/doc at k=128 on long docs.  This form stays inside
+    whole-stage codegen end to end: one md5 per exploded shingle, k
+    flat `min(h1 + j*h2)` aggregate columns, map-side partial agg
+    (shingles of a doc share their scan partition, so the shuffle
+    carries one row of k longs per doc).  The shingle guard emits >= 1
+    element for every doc, so no doc is lost to the explode."""
     words = P.words_spark("text")
     shingles = f"array_distinct({P.shingles_spark(words)})"
-    # spread the CPU-heavy hashing across all cores: a small parquet
-    # arrives as 1-2 scan partitions; at real scale the input is already
-    # wide and this repartition coalesces away under AQE
     sc = docs.sparkSession.sparkContext
-    paired = docs.repartition(sc.defaultParallelism).select(
-        "doc_id", F.expr(P.minhash_pairs_spark(shingles)).alias("mhp")
+    ex = docs.repartition(sc.defaultParallelism).select(
+        "doc_id", F.explode(F.expr(shingles)).alias("s")
     )
-    cols = [F.col("doc_id")] + [
-        F.expr(e).alias(f"mh{j}")
-        for j, e in enumerate(P.minhash_from_pairs_spark("mhp", MINHASH_K))
+    hashed = ex.select(
+        "doc_id",
+        F.expr(P.hn_spark("md5(s)", 1, width)).alias("h1"),
+        F.expr(P.hn_spark("md5(s)", off2, width)).alias("h2"),
+    )
+    aggs = [
+        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh{j}") for j in range(k)
     ]
-    return paired.select(*cols)
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """k=8 minhashes over distinct 3-word shingles; one md5 per shingle
+    (14-hex double-hash halves, h1 + 7*h2 < 2^59)."""
+    return _minhash_sigs_flat(docs, MINHASH_K, off2=15, width=14)
 
 
 def _banded(docs: DataFrame) -> DataFrame:
@@ -197,6 +210,93 @@ def _lsh_pairs_ctes(corpus: str, max_bucket: int = MAX_BUCKET) -> str:
 
 def minhash_lsh_pairs_sql(corpus: str = "documents", max_bucket: int = MAX_BUCKET) -> str:
     return f"WITH {_lsh_pairs_ctes(corpus, max_bucket)}\n    SELECT a, b FROM lsh_pairs"
+
+
+# -- production-width banding: k=128, 16 bands x 8 rows ----------------------
+# The k=8/4x2 config above is the oracle-friendly demo; its per-band
+# collision prob s^2 admits ~30% false candidates at s=0.3 and, on
+# template-heavy corpora, hot band values that the bucket guard then
+# drops (losing true pairs).  The production config s^8 per band /
+# 16 bands puts the S-curve threshold at J~0.9: measured on the 200k
+# soak (soak_dedup.py), false candidates collapse and within-family
+# recall at J>=0.9 is ~1.0.
+
+WIDE_BANDS = 16
+WIDE_ROWS = 8
+
+
+def minhash_signatures_wide(docs: DataFrame) -> DataFrame:
+    """k=128 minhashes (52-bit halves, h1 + 127*h2 < 2^59)."""
+    return _minhash_sigs_flat(docs, P.MINHASH_WIDE_K, off2=14, width=13)
+
+
+def minhash_lsh_pairs_wide(
+    docs: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Candidate pairs from k=128 minhash, 16 bands x 8 rows (52-bit
+    double-hash halves; see functions/portable.py wide scheme)."""
+    sigs = minhash_signatures_wide(docs)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "_", *[f"mh{b * WIDE_ROWS + r}" for r in range(WIDE_ROWS)]
+            ).alias("band_val"),
+        )
+        for b in range(WIDE_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_val")
+    safe = banded.join(
+        _bucket_sizes(banded).filter(F.col("bucket_n") <= max_bucket),
+        ["band_id", "band_val"],
+    ).drop("bucket_n")
+    a, b = safe.alias("a"), safe.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_wide_sql(
+    corpus: str = "documents", max_bucket: int = MAX_BUCKET
+) -> str:
+    words = P.words_duck("text")
+    shingles = f"list_distinct({P.shingles_duck(words)})"
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"array_to_string(m[{b * WIDE_ROWS + 1}:{(b + 1) * WIDE_ROWS}], '_') AS band_val "
+        f"FROM sigs"
+        for b in range(WIDE_BANDS)
+    )
+    return f"""
+    WITH corpus AS ({corpus}),
+    paired AS (SELECT doc_id, {P.minhash_pairs_wide_duck(shingles)} AS mhp FROM corpus),
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, {P.MINHASH_WIDE_K}), j ->
+               list_min(list_transform(mhp, p -> p.h1 + j * p.h2))) AS m
+      FROM paired
+    ),
+    banded AS ({bands}),
+    safe AS (
+      SELECT doc_id, band_id, band_val FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_val) AS bucket_n
+        FROM banded
+      ) WHERE bucket_n <= {max_bucket}
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM safe a JOIN safe b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    """
 
 
 # --------------------------------------------------------------------------

@@ -188,23 +188,15 @@ def simhash64_neardup_pairs_sql(
 def minhash_k128_digest(docs: DataFrame) -> DataFrame:
     """(doc_id, sig_digest): md5 over all 128 minhash values — a narrow
     row that still pins every min exactly, green against DuckDB at the
-    full production width."""
-    words = P.words_spark("text")
-    shingles = f"array_distinct({P.shingles_spark(words)})"
-    sc = docs.sparkSession.sparkContext
-    paired = docs.repartition(sc.defaultParallelism).select(
-        "doc_id", F.expr(P.minhash_pairs_wide_spark(shingles)).alias("mhp")
+    full production width.  Signatures come from the codegen'd flat
+    min-aggregate path (dedup._minhash_sigs_flat), not HOF expressions."""
+    from .dedup import minhash_signatures_wide
+
+    sigs = minhash_signatures_wide(docs)
+    joined = F.concat_ws(
+        ",", *[F.col(f"mh{j}").cast("string") for j in range(P.MINHASH_WIDE_K)]
     )
-    mins = F.expr(
-        "transform(sequence(0, {k}), j -> "
-        "cast(array_min(transform(mhp, p -> p.h1 + j * p.h2)) as string))".format(
-            k=P.MINHASH_WIDE_K - 1
-        )
-    )
-    return paired.select(
-        "doc_id",
-        F.md5(F.concat_ws(",", mins)).alias("sig_digest"),
-    )
+    return sigs.select("doc_id", F.md5(joined).alias("sig_digest"))
 
 
 def minhash_k128_digest_sql(corpus: str = "documents") -> str:

@@ -54,6 +54,21 @@ def test_topk_per_group_has_partial_rank_limit(spark):
     assert "WindowGroupLimit" in plan and ", Partial" in plan, plan
 
 
+def test_minhash_signatures_are_flat_aggregates(spark):
+    """Minhash signatures must be the codegen'd explode -> flat MIN
+    aggregate plan, never interpreted HOF array expressions (measured
+    ~100 ms/doc at k=128; the 200k soak never finished on the HOF form).
+    Guard: a HashAggregate computes the mins and no array_min/aggregate
+    lambda appears in the plan."""
+    from cvocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for sigs in (dedup.minhash_signatures(docs), dedup.minhash_signatures_wide(docs)):
+        plan = _plan(sigs)
+        assert "HashAggregate" in plan, plan
+        assert "array_min" not in plan, "HOF minhash crept back in:\n" + plan[:2000]
+
+
 def test_kmv_values_unchanged_by_partial_plan(spark):
     """Two-level k-smallest == global k-smallest: spot-check the kth
     hash against a driver-side sort of all hashes."""
