@@ -335,6 +335,17 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         ),
         dedup.dedup_clusters_sql(corpus=dedup.injected_dups_sql(generations=2)),
     )
+    c["dedup_clusters_verified"] = (
+        # the production default: LSH -> exact-Jaccard verify -> CC ->
+        # keepers (clustering raw candidates chains unrelated docs —
+        # measured on the 200k soak)
+        lambda s, d: dedup.dedup_clusters_verified(
+            dedup.with_injected_dups(_t(s, d, "documents"), generations=2)
+        ),
+        dedup.dedup_clusters_verified_sql(
+            corpus=dedup.injected_dups_sql(generations=2)
+        ),
+    )
 
     # similarity search
     c["cosine_topk"] = (

@@ -468,6 +468,51 @@ def dedup_clusters_sql(corpus: str = "documents") -> str:
     """
 
 
+def dedup_clusters_verified(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """The production default: cluster only VERIFIED pairs.  The 200k
+    soak showed why — raw LSH candidates chain unrelated docs through
+    false candidates; exact-Jaccard verification before CC bounds every
+    merge by a measured similarity."""
+    pairs = minhash_verified_dups(docs, threshold).select("a", "b")
+    return dedup_clusters(docs, pairs)
+
+
+def dedup_clusters_verified_sql(corpus: str = "documents", threshold: float = 0.8) -> str:
+    jac = (
+        "round(cast(len(list_intersect(ta.toks, tb.toks)) as double)"
+        " / (len(ta.toks) + len(tb.toks)"
+        " - len(list_intersect(ta.toks, tb.toks))), 4)"
+    )
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_ctes(corpus)},
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM corpus
+    ),
+    verified AS (
+      SELECT p.a, p.b
+      FROM lsh_pairs p
+      JOIN toks ta ON p.a = ta.doc_id
+      JOIN toks tb ON p.b = tb.doc_id
+      WHERE {jac} >= {threshold}
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM verified
+      UNION
+      SELECT b AS src, a AS dst FROM verified
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.doc_id,
+           coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+           c.doc_id = coalesce(l.cluster_id, c.doc_id) AS is_keeper
+    FROM corpus c LEFT JOIN labels l ON c.doc_id = l.node
+    """
+
+
 # --------------------------------------------------------------------------
 # simhash (oracle-exact 16-bit demo; 64-bit production width in simhash64.py)
 # --------------------------------------------------------------------------
