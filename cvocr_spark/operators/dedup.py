@@ -105,9 +105,13 @@ def _minhash_sigs_flat(docs: DataFrame, k: int, off2: int, width: int) -> DataFr
     words = P.words_spark("text")
     shingles = f"array_distinct({P.shingles_spark(words)})"
     sc = docs.sparkSession.sparkContext
-    ex = docs.repartition(sc.defaultParallelism).select(
-        "doc_id", F.explode(F.expr(shingles)).alias("s")
-    )
+    # spread the md5-heavy stage across all cores ONLY when the input
+    # arrives narrower than the cluster (a small local parquet scans as
+    # 1-2 partitions).  An unconditional repartition would full-shuffle
+    # raw text at crawl scale, where the input is already wide.
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    ex = docs.select("doc_id", F.explode(F.expr(shingles)).alias("s"))
     hashed = ex.select(
         "doc_id",
         F.expr(P.hn_spark("md5(s)", 1, width)).alias("h1"),
