@@ -54,6 +54,29 @@ def test_topk_per_group_has_partial_rank_limit(spark):
     assert "WindowGroupLimit" in plan and ", Partial" in plan, plan
 
 
+def test_extraction_scan_prunes_columns_and_pushes_filters(spark):
+    """The parquet scan under the Arrow stage must read ONLY
+    (url, warc_ts, html) even from a wider table, with the html
+    null-filter pushed into the scan — a scan reading extra columns for
+    a 3-column kernel is wrong at any scale (task brief: ReadSchema /
+    PushedFilters must be visible in the plan)."""
+    import tempfile
+
+    from cvocr_spark.fixtures import gen_pages_df
+    from cvocr_spark.plans.job import extract_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = tempfile.mkdtemp(prefix="cvocr_prune_")
+    gen_pages_df(spark, docs).selectExpr(
+        "*", "length(html) as extra1", "'x' as extra2"
+    ).write.mode("overwrite").parquet(d + "/pages")
+    plan = _plan(extract_pages(spark.read.parquet(d + "/pages")))
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "ReadSchema: struct<url:string,warc_ts:timestamp,html:binary>" in scan, scan
+    assert "extra1" not in scan and "extra2" not in scan, scan
+    assert "PushedFilters: [IsNotNull(html)]" in scan, scan
+
+
 def test_minhash_signatures_are_flat_aggregates(spark):
     """Minhash signatures must be the codegen'd explode -> flat MIN
     aggregate plan, never interpreted HOF array expressions (measured
