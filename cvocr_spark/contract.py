@@ -275,6 +275,12 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: textstats.doc_fingerprint(_t(s, d, "documents")),
         textstats.doc_fingerprint_sql(),
     )
+    c["repetition_stats"] = (
+        # Gopher-style repetition quality filters (dup n-gram fraction,
+        # top-word fraction) — explode -> flat aggregates, codegen'd
+        lambda s, d: textstats.repetition_stats(_t(s, d, "documents")),
+        textstats.repetition_stats_sql(),
+    )
 
     # deduplication
     c["dedup_exact"] = (

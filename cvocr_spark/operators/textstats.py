@@ -146,3 +146,76 @@ def doc_fingerprint_sql() -> str:
         f"SELECT doc_id, list_min(list_transform({sh}, s -> md5(s))) AS fingerprint "
         "FROM documents"
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality
+    filters a pretraining pipeline runs after extraction:
+
+      * distinct_word_ratio — types / tokens (low => template/spam)
+      * top_word_fraction   — most frequent word / tokens
+      * dup_trigram_fraction — 1 - distinct 3-shingles / total shingles
+        (the "duplicate n-gram fraction" repetition filter)
+
+    Plan: two explode -> flat-aggregate passes (words, shingles) joined
+    on doc_id — whole-stage codegen, map-side partial aggregation (a
+    doc's tokens share its scan partition), no HOF array expressions.
+    """
+    words = F.split("text", " ")
+    shingles = F.expr(P.shingles_spark(P.words_spark("text")))
+    w = docs.select("doc_id", F.explode(words).alias("w"))
+    wc = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.max("c").alias("top_c"),
+    )
+    s = docs.select("doc_id", F.explode(shingles).alias("s"))
+    sc_ = s.groupBy("doc_id", "s").agg(F.count("*").alias("c"))
+    shingle_stats = sc_.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.count("*").alias("n_distinct_shingles"),
+    )
+    return (
+        word_stats.join(shingle_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias(
+                "distinct_word_ratio"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 4).alias(
+                "top_word_fraction"
+            ),
+            F.round(
+                1.0 - F.col("n_distinct_shingles") / F.col("n_shingles"), 4
+            ).alias("dup_trigram_fraction"),
+        )
+    )
+
+
+def repetition_stats_sql(corpus: str = "SELECT * FROM documents") -> str:
+    words = P.words_duck("text")
+    shingles = P.shingles_duck(words)
+    return f"""
+    WITH corpus AS ({corpus}),
+    w AS (SELECT doc_id, unnest({words}) AS w FROM corpus),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    word_stats AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types, max(c) AS top_c
+      FROM wc GROUP BY doc_id
+    ),
+    s AS (SELECT doc_id, unnest({shingles}) AS s FROM corpus),
+    sc AS (SELECT doc_id, s, count(*) AS c FROM s GROUP BY doc_id, s),
+    shingle_stats AS (
+      SELECT doc_id, sum(c) AS n_shingles, count(*) AS n_distinct_shingles
+      FROM sc GROUP BY doc_id
+    )
+    SELECT word_stats.doc_id,
+           cast(n_tokens as int) AS n_tokens,
+           round(cast(n_types as double) / n_tokens, 4) AS distinct_word_ratio,
+           round(cast(top_c as double) / n_tokens, 4) AS top_word_fraction,
+           round(1.0 - cast(n_distinct_shingles as double) / n_shingles, 4)
+             AS dup_trigram_fraction
+    FROM word_stats JOIN shingle_stats ON word_stats.doc_id = shingle_stats.doc_id
+    """

@@ -117,3 +117,22 @@ def test_hot_bucket_guard_keeps_small_buckets(spark):
     df = _docs(spark, filler + dups)
     got = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(df, max_bucket=10).collect()}
     assert (1000, 1001) in got
+
+
+def test_repetition_stats_detects_repetitive_doc(spark):
+    """A doc that repeats one phrase must score near-1 dup-trigram
+    fraction and high top-word fraction; varied prose must not."""
+    from cvocr_spark.operators import textstats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "buy now " * 30 + "buy"),  # 61 tokens, 2 types
+            (2, "each word here is used exactly once in this varied sentence"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert rows[1]["dup_trigram_fraction"] > 0.9
+    assert rows[1]["top_word_fraction"] > 0.45
+    assert rows[2]["dup_trigram_fraction"] == 0.0
+    assert rows[2]["distinct_word_ratio"] == 1.0
