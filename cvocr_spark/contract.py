@@ -370,6 +370,12 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: similarity.lsh_ann_multiprobe_topk(_t(s, d, "embeddings")),
         similarity.lsh_ann_multiprobe_topk_sql(),
     )
+    c["embedding_dedup_clusters"] = (
+        # vector-modality dedup to keepers (LSH pairs -> CC), same
+        # resolution story as the token-space dedup_clusters
+        lambda s, d: similarity.embedding_dedup_clusters(_t(s, d, "embeddings")),
+        similarity.embedding_dedup_clusters_sql(),
+    )
 
     def q_ann_numpy(s: SparkSession, d: str) -> DataFrame:
         # numpy-matmul vectorized ANN (scale path).  Float summation

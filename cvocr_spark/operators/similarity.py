@@ -132,6 +132,50 @@ def cosine_neardup_pairs_sql(
     """
 
 
+def embedding_dedup_clusters(emb: DataFrame, limit_id: int = 100, threshold: float = 0.995) -> DataFrame:
+    """Embedding-space dedup all the way to KEEPERS: LSH-routed cosine
+    near-dup pairs -> connected components -> one keeper per cluster —
+    the same pairs-are-not-enough resolution as the token-space
+    dedup_clusters, over the vector modality."""
+    from .dedup import dedup_clusters
+
+    base = emb.filter(F.col("vec_id") < limit_id)
+    dups = base.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = base.unionByName(dups).select(F.col("vec_id").alias("doc_id"))
+    pairs = cosine_neardup_pairs(emb, limit_id, threshold).select("a", "b")
+    return dedup_clusters(corpus, pairs).withColumnRenamed("doc_id", "vec_id")
+
+
+def embedding_dedup_clusters_sql(limit_id: int = 100, threshold: float = 0.995) -> str:
+    pairs_sql = cosine_neardup_pairs_sql(limit_id, threshold)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    vcorpus AS (
+      SELECT vec_id FROM embeddings WHERE vec_id < {limit_id}
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id FROM embeddings
+      WHERE vec_id < {limit_id} AND vec_id % 20 = 0
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.vec_id,
+           coalesce(l.cluster_id, c.vec_id) AS cluster_id,
+           c.vec_id = coalesce(l.cluster_id, c.vec_id) AS is_keeper
+    FROM vcorpus c LEFT JOIN labels l ON c.vec_id = l.node
+    """
+
+
 def cosine_neardup_exact(emb: DataFrame, limit_id: int = 100, threshold: float = 0.995) -> DataFrame:
     """All-pairs exact form — the BOUNDED verifier/recall baseline only
     (never run unbounded; the named operator is the LSH-routed one)."""
