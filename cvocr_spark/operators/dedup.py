@@ -420,7 +420,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the convergence agg below is the action
+            # that materializes it — one Spark job per round, not two
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
