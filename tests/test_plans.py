@@ -77,6 +77,22 @@ def test_extraction_scan_prunes_columns_and_pushes_filters(spark):
     assert "PushedFilters: [IsNotNull(html)]" in scan, scan
 
 
+def test_salted_fallback_exchanges_on_url_hash(spark):
+    """extract_pages(salted=True) must place exactly one hash exchange
+    on sha2(url) between the pruned scan and the Arrow stage — the
+    documented unbucketed-input fallback; the bucketed design path has
+    no exchange at all."""
+    from cvocr_spark.fixtures import gen_pages_df
+    from cvocr_spark.plans.job import extract_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = gen_pages_df(spark, docs)
+    salted = _plan(extract_pages(pages, n_partitions=8, salted=True))
+    assert "Exchange hashpartitioning(sha2(cast(url" in salted, salted
+    unsalted = _plan(extract_pages(pages, salted=False))
+    assert "Exchange hashpartitioning(sha2(cast(url" not in unsalted
+
+
 def test_minhash_signatures_are_flat_aggregates(spark):
     """Minhash signatures must be the codegen'd explode -> flat MIN
     aggregate plan, never interpreted HOF array expressions (measured
