@@ -3,7 +3,7 @@ the generator-independent credibility check (VERDICT r1 item 4: the
 synthetic-corpus roundtrip can't catch a kernel that is only good at
 the generator's shapes).
 
-20 pages covering shapes the fixture generator never emits: comment
+24 pages covering shapes the fixture generator never emits: comment
 threads, infoboxes/tables mixing prose and cells, cookie-consent
 interstitials, paginated article stubs, non-English pages (de/fr/zh),
 forum listings, recipes, code-heavy docs, marketing landers, search
@@ -626,6 +626,110 @@ circuit, a change the industry quietly copied within a couple of years.</p>
         "circuit, a change the industry quietly copied within a couple of years.",
     ],
     drop=["Section Two", "privacy policy"],
+)
+
+
+# -- 21. FAQ accordion (details/summary) ------------------------------------------------------------
+_page(
+    "faq_accordion",
+    _CHROME_TOP
+    + """<main><h1>Frequently asked questions about the allotment waiting list</h1>
+<details><summary>How long is the current waiting time for a plot?</summary>
+<p>Most applicants wait between two and four years depending on the site,
+and the list for the riverside site moves noticeably faster because its
+plots are smaller and turn over more often.</p></details>
+<details><summary>Can I share a plot with another household?</summary>
+<p>Yes, joint tenancies are allowed as long as both parties register, and
+shared plots are actually encouraged on the larger sites where a full plot
+is too much work for one household.</p></details>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "Frequently asked questions about the allotment waiting list",
+        "How long is the current waiting time for a plot?",
+        "Most applicants wait between two and four years depending on the site, "
+        "and the list for the riverside site moves noticeably faster because its "
+        "plots are smaller and turn over more often.",
+        "Can I share a plot with another household?",
+        "Yes, joint tenancies are allowed as long as both parties register, and "
+        "shared plots are actually encouraged on the larger sites where a full "
+        "plot is too much work for one household.",
+    ],
+    drop=["Log in", "cookie settings"],
+)
+
+# -- 22. image gallery with captions -----------------------------------------------------------------
+_page(
+    "gallery_captions",
+    _CHROME_TOP
+    + """<main><h1>Autumn on the upland moors, in pictures</h1>
+<figure><img src="/i/1.jpg" alt=""><figcaption>Mist clearing from the eastern
+ridge just after sunrise on the first cold morning.</figcaption></figure>
+<figure><img src="/i/2.jpg" alt=""><figcaption>A shepherd's hut restored last
+year by the volunteer group, now used as a bothy.</figcaption></figure>
+<figure><img src="/i/3.jpg" alt=""><figcaption>The old quarry tramway, its
+rails long gone but the grade still walkable.</figcaption></figure>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "Autumn on the upland moors, in pictures",
+        "Mist clearing from the eastern ridge just after sunrise on the first "
+        "cold morning.",
+        "A shepherd's hut restored last year by the volunteer group, now used as "
+        "a bothy.",
+        "The old quarry tramway, its rails long gone but the grade still walkable.",
+    ],
+    drop=["Section One"],
+)
+
+# -- 23. legal/terms page (long boilerplate-register text IS the content) -----------------------------
+_page(
+    "legal_terms",
+    _CHROME_TOP
+    + """<main><h1>Terms of service</h1>
+<p>By creating an account you agree that the service is provided as is,
+that scheduled maintenance may interrupt availability with reasonable
+notice, and that your stored data remains yours and is exportable at any
+time in a documented format.</p>
+<p>Either party may terminate the agreement with thirty days written
+notice, after which your data is retained for ninety days and then
+permanently deleted from production systems and backups on their normal
+rotation schedule.</p>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "By creating an account you agree that the service is provided as is, "
+        "that scheduled maintenance may interrupt availability with reasonable "
+        "notice, and that your stored data remains yours and is exportable at "
+        "any time in a documented format.",
+        "Either party may terminate the agreement with thirty days written "
+        "notice, after which your data is retained for ninety days and then "
+        "permanently deleted from production systems and backups on their normal "
+        "rotation schedule.",
+    ],
+    drop=["Sign up free", "copyright 2025 example site"],
+)
+
+# -- 24. table-of-contents / anchor index ------------------------------------------------------------
+_page(
+    "toc_index",
+    _CHROME_TOP
+    + """<main><h2>Contents</h2>
+<ol>
+<li><a href="#ch1">Chapter one: the survey years</a></li>
+<li><a href="#ch2">Chapter two: the narrow gauge era</a></li>
+<li><a href="#ch3">Chapter three: closure and afterlife</a></li>
+<li><a href="#app">Appendix: rolling stock registers</a></li>
+</ol>
+<p class="note">This online edition reproduces the 1987 text unchanged apart
+from corrections listed in the appendix and newly drawn maps.</p>
+</main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "This online edition reproduces the 1987 text unchanged apart from "
+        "corrections listed in the appendix and newly drawn maps.",
+    ],
+    drop=["Chapter one: the survey years", "Section Two"],
 )
 
 
