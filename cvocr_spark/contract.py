@@ -281,6 +281,12 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: textstats.repetition_stats(_t(s, d, "documents")),
         textstats.repetition_stats_sql(),
     )
+    c["corpus_filter"] = (
+        # the composed keep/drop decision with named drop reasons —
+        # the filter stage a pretraining pipeline ships
+        lambda s, d: textstats.corpus_filter(_t(s, d, "documents")),
+        textstats.corpus_filter_sql(),
+    )
 
     # deduplication
     c["dedup_exact"] = (

@@ -219,3 +219,62 @@ def repetition_stats_sql(corpus: str = "SELECT * FROM documents") -> str:
              AS dup_trigram_fraction
     FROM word_stats JOIN shingle_stats ON word_stats.doc_id = shingle_stats.doc_id
     """
+
+
+# -- composite corpus filter (the decision a pretraining pipeline ships) -----
+
+FILTER_MIN_QUALITY = 0.5
+FILTER_MAX_DUP_TRIGRAM = 0.3
+FILTER_MAX_TOP_WORD = 0.2
+FILTER_MIN_TOKENS = 20
+
+
+def corpus_filter(docs: DataFrame) -> DataFrame:
+    """The composed keep/drop decision over all text-quality gates —
+    what a training-data pipeline actually wires after extraction:
+    length + quality score + repetition filters, with the failed gates
+    named per doc (deterministic ','-joined reason string).  One join
+    of the two per-doc stat frames; all gates JVM expressions."""
+    q = quality_score(docs).select("doc_id", "quality")
+    r = repetition_stats(docs)
+    checks = [
+        ("short", F.col("n_tokens") < FILTER_MIN_TOKENS),
+        ("low_quality", F.col("quality") < FILTER_MIN_QUALITY),
+        ("repetitive", F.col("dup_trigram_fraction") > FILTER_MAX_DUP_TRIGRAM),
+        ("top_heavy", F.col("top_word_fraction") > FILTER_MAX_TOP_WORD),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    return (
+        q.join(r, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            "dup_trigram_fraction",
+            reasons.alias("drop_reasons"),
+        )
+        .withColumn("keep", F.col("drop_reasons") == "")
+    )
+
+
+def corpus_filter_sql(corpus: str = "SELECT * FROM documents") -> str:
+    rep = repetition_stats_sql(corpus)
+    return f"""
+    WITH q AS ({QUALITY_SCORE_SQL}),
+    r AS ({rep})
+    SELECT q.doc_id, q.quality, r.dup_trigram_fraction,
+           concat_ws(',',
+             CASE WHEN r.n_tokens < {FILTER_MIN_TOKENS} THEN 'short' END,
+             CASE WHEN q.quality < {FILTER_MIN_QUALITY} THEN 'low_quality' END,
+             CASE WHEN r.dup_trigram_fraction > {FILTER_MAX_DUP_TRIGRAM} THEN 'repetitive' END,
+             CASE WHEN r.top_word_fraction > {FILTER_MAX_TOP_WORD} THEN 'top_heavy' END
+           ) AS drop_reasons,
+           concat_ws(',',
+             CASE WHEN r.n_tokens < {FILTER_MIN_TOKENS} THEN 'short' END,
+             CASE WHEN q.quality < {FILTER_MIN_QUALITY} THEN 'low_quality' END,
+             CASE WHEN r.dup_trigram_fraction > {FILTER_MAX_DUP_TRIGRAM} THEN 'repetitive' END,
+             CASE WHEN r.top_word_fraction > {FILTER_MAX_TOP_WORD} THEN 'top_heavy' END
+           ) = '' AS keep
+    FROM q JOIN r ON q.doc_id = r.doc_id
+    """

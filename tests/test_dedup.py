@@ -136,3 +136,22 @@ def test_repetition_stats_detects_repetitive_doc(spark):
     assert rows[1]["top_word_fraction"] > 0.45
     assert rows[2]["dup_trigram_fraction"] == 0.0
     assert rows[2]["distinct_word_ratio"] == 1.0
+
+
+def test_corpus_filter_names_drop_reasons(spark):
+    from cvocr_spark.operators import textstats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam " * 40 + "spam"),                       # repetitive + top_heavy
+            (2, "tiny doc"),                                       # short
+            (3, "the quick brown fox jumps over a lazy dog and keeps going "
+                "with plenty of varied words in a long enough sentence to "
+                "pass every quality gate easily today without any repeats"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in textstats.corpus_filter(docs).collect()}
+    assert not rows[1]["keep"] and "repetitive" in rows[1]["drop_reasons"]
+    assert not rows[2]["keep"] and "short" in rows[2]["drop_reasons"]
+    assert rows[3]["keep"] and rows[3]["drop_reasons"] == ""
