@@ -376,6 +376,15 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: similarity.lsh_ann_multiprobe_topk(_t(s, d, "embeddings")),
         similarity.lsh_ann_multiprobe_topk_sql(),
     )
+    from .operators import ivf
+
+    c["ivf_ann_topk"] = (
+        # IVF coarse-quantizer ANN: deterministically trained k-means
+        # (fixed Lloyd iterations, integer-quantized) — the oracle
+        # re-runs the SAME training as chained CTEs
+        lambda s, d: ivf.ivf_ann_topk(_t(s, d, "embeddings")),
+        ivf.ivf_ann_topk_sql(),
+    )
     c["embedding_dedup_clusters"] = (
         # vector-modality dedup to keepers (LSH pairs -> CC), same
         # resolution story as the token-space dedup_clusters

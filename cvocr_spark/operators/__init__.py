@@ -2,6 +2,7 @@ from . import (  # noqa: F401
     ann_numpy,
     asof,
     dedup,
+    ivf,
     multimodal,
     relational,
     scalar_fns,

@@ -54,6 +54,36 @@ def test_lsh_neardup_recall_vs_exact(spark):
     assert lsh <= exact  # no false positives (both verify exact cosine)
 
 
+def test_ivf_ann_recall_and_self_hit(spark):
+    """IVF with n_probe=2 of k=8 lists: every query finds itself (its
+    own list is always probed) and recall@5 vs exact lands in
+    tests/goldens/ann_recall.json next to the LSH numbers."""
+    import json
+    import os
+
+    from cvocr_spark.operators.ivf import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    nq, k = 20, 5
+    exact = _topk_map(cosine_topk(emb, n_queries=nq, k=k).collect())
+    got = _topk_map(ivf_ann_topk(emb, n_queries=nq, topk=k).collect())
+    hits = total = 0
+    for q, gold in exact.items():
+        gold_ids = {n for _s, n in gold}
+        got_ids = {n for _s, n in got.get(q, [])}
+        hits += len(gold_ids & got_ids)
+        total += len(gold_ids)
+        assert q in got_ids, f"query {q} must find itself"
+    recall = hits / total
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "goldens", "ann_recall.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["recall_ivf_nprobe2_of8"] = round(recall, 4)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
 def test_lsh_ann_self_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     rows = lsh_ann_topk(emb, n_queries=5, k=3).collect()
