@@ -53,6 +53,7 @@ HEADLINE = [
     "simhash64_neardup",
     "cosine_topk",
     "ann_numpy_topk",
+    "ivf_ann_topk",
     "token_stats",
 ]
 
