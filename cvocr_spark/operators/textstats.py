@@ -260,21 +260,23 @@ def corpus_filter(docs: DataFrame) -> DataFrame:
 
 def corpus_filter_sql(corpus: str = "SELECT * FROM documents") -> str:
     rep = repetition_stats_sql(corpus)
+    # ONE source of truth for the gate list: keep is derived from the
+    # same interpolated expression as drop_reasons, so tuning a gate can
+    # never desynchronize the two columns (ADVICE r2)
+    reasons = f"""concat_ws(',',
+             CASE WHEN r.n_tokens < {FILTER_MIN_TOKENS} THEN 'short' END,
+             CASE WHEN q.quality < {FILTER_MIN_QUALITY} THEN 'low_quality' END,
+             CASE WHEN r.dup_trigram_fraction > {FILTER_MAX_DUP_TRIGRAM} THEN 'repetitive' END,
+             CASE WHEN r.top_word_fraction > {FILTER_MAX_TOP_WORD} THEN 'top_heavy' END
+           )"""
     return f"""
     WITH q AS ({QUALITY_SCORE_SQL}),
     r AS ({rep})
-    SELECT q.doc_id, q.quality, r.dup_trigram_fraction,
-           concat_ws(',',
-             CASE WHEN r.n_tokens < {FILTER_MIN_TOKENS} THEN 'short' END,
-             CASE WHEN q.quality < {FILTER_MIN_QUALITY} THEN 'low_quality' END,
-             CASE WHEN r.dup_trigram_fraction > {FILTER_MAX_DUP_TRIGRAM} THEN 'repetitive' END,
-             CASE WHEN r.top_word_fraction > {FILTER_MAX_TOP_WORD} THEN 'top_heavy' END
-           ) AS drop_reasons,
-           concat_ws(',',
-             CASE WHEN r.n_tokens < {FILTER_MIN_TOKENS} THEN 'short' END,
-             CASE WHEN q.quality < {FILTER_MIN_QUALITY} THEN 'low_quality' END,
-             CASE WHEN r.dup_trigram_fraction > {FILTER_MAX_DUP_TRIGRAM} THEN 'repetitive' END,
-             CASE WHEN r.top_word_fraction > {FILTER_MAX_TOP_WORD} THEN 'top_heavy' END
-           ) = '' AS keep
-    FROM q JOIN r ON q.doc_id = r.doc_id
+    SELECT doc_id, quality, dup_trigram_fraction, drop_reasons,
+           drop_reasons = '' AS keep
+    FROM (
+      SELECT q.doc_id, q.quality, r.dup_trigram_fraction,
+             {reasons} AS drop_reasons
+      FROM q JOIN r ON q.doc_id = r.doc_id
+    )
     """

@@ -119,10 +119,14 @@ def test_lsh_ann_recall_characterized(spark):
         return hits / total
 
     r1, rm = recall(single), recall(multi)
-    out = {"n_queries": nq, "k": k, "recall_single_probe": round(r1, 4),
-           "recall_multi_probe": round(rm, 4)}
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "goldens", "ann_recall.json"), "w") as f:
+    path = os.path.join(here, "goldens", "ann_recall.json")
+    # read-merge (same pattern as the IVF test): a fresh dict here used
+    # to discard recall_ivf_* keys written by the earlier test
+    out = json.load(open(path)) if os.path.exists(path) else {}
+    out.update({"n_queries": nq, "k": k, "recall_single_probe": round(r1, 4),
+                "recall_multi_probe": round(rm, 4)})
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     assert rm >= r1, out
     assert rm >= 0.5, f"multi-probe recall collapsed: {out}"
