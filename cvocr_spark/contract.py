@@ -385,6 +385,23 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: ivf.ivf_ann_topk(_t(s, d, "embeddings")),
         ivf.ivf_ann_topk_sql(),
     )
+
+    def q_ivf_search(s: SparkSession, d: str) -> DataFrame:
+        # the DEPLOYMENT path: train once -> materialize (centroids +
+        # cid-partitioned lists + per-list stats) -> serve via partition
+        # pruning.  Distinct params from ivf_ann_topk so this is an
+        # independent check of the round-trip through parquet.
+        import hashlib
+
+        path = f"/tmp/cvocr_ivf_{hashlib.md5(d.encode()).hexdigest()[:10]}"
+        return ivf.ivf_build_and_search(
+            s, _t(s, d, "embeddings"), path, n_probe=4, n_queries=8
+        )
+
+    c["ivf_ann_search"] = (
+        q_ivf_search,
+        ivf.ivf_ann_topk_sql(n_probe=4, n_queries=8),
+    )
     c["embedding_dedup_clusters"] = (
         # vector-modality dedup to keepers (LSH pairs -> CC), same
         # resolution story as the token-space dedup_clusters

@@ -40,7 +40,7 @@ resolution has >2-member components to collapse.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
@@ -108,8 +108,15 @@ def _minhash_sigs_flat(docs: DataFrame, k: int, off2: int, width: int) -> DataFr
     # spread the md5-heavy stage across all cores ONLY when the input
     # arrives narrower than the cluster (a small local parquet scans as
     # 1-2 partitions).  An unconditional repartition would full-shuffle
-    # raw text at crawl scale, where the input is already wide.
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+    # raw text at crawl scale, where the input is already wide.  The
+    # width probe counts input FILES (driver-side metadata, no RDD
+    # conversion — ADVICE r2); non-file plans (in-memory test frames)
+    # report 0 files and get spread, which is always safe for them.
+    try:
+        n_in = len(docs.inputFiles())
+    except Exception:
+        n_in = 0
+    if n_in < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
     ex = docs.select("doc_id", F.explode(F.expr(shingles)).alias("s"))
     hashed = ex.select(
@@ -150,6 +157,24 @@ def _bucket_sizes(banded: DataFrame) -> DataFrame:
     return banded.groupBy("band_id", "band_val").agg(F.count("*").alias("bucket_n"))
 
 
+def _safe_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Hot-bucket guard as a WINDOW count over one shuffle of the banded
+    rows.  vs the former groupBy+self-join guard: the (expensive md5
+    explode -> MIN-agg) signature pipeline appears ONCE in the plan, the
+    single (band_id, band_val) exchange it introduces is exactly the
+    partitioning the downstream self-join needs (ReuseExchange dedupes
+    it across the join's two sides), and skew behavior is identical —
+    either form hashes a monster bucket's rows to one task before
+    dropping them.  Measured at sf0.1: dedup_clusters 12.0s -> see
+    BENCH notes (the guard was the dominant re-evaluation)."""
+    w = F.count("*").over(Window.partitionBy("band_id", "band_val"))
+    return (
+        banded.withColumn("bucket_n", w)
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Band the signatures (2 rows/band) and equi-join on band value:
     candidate near-dup pairs without a cross product.  Buckets larger
@@ -157,11 +182,7 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFram
     guard): a degenerate band value (10k identical boilerplate docs)
     would otherwise produce a single O(n^2) task at crawl scale.
     Skipped buckets are observable via ``lsh_skipped_buckets``."""
-    banded = _banded(docs)
-    safe = banded.join(
-        _bucket_sizes(banded).filter(F.col("bucket_n") <= max_bucket),
-        ["band_id", "band_val"],
-    ).drop("bucket_n")
+    safe = _safe_banded(_banded(docs), max_bucket)
     a, b = safe.alias("a"), safe.alias("b")
     return (
         a.join(
@@ -252,10 +273,7 @@ def minhash_lsh_pairs_wide(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_val")
-    safe = banded.join(
-        _bucket_sizes(banded).filter(F.col("bucket_n") <= max_bucket),
-        ["band_id", "band_val"],
-    ).drop("bucket_n")
+    safe = _safe_banded(banded, max_bucket)
     a, b = safe.alias("a"), safe.alias("b")
     return (
         a.join(
@@ -370,16 +388,38 @@ def minhash_verified_dups_sql(corpus: str = "documents", threshold: float = 0.8)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Distributed connected components over an undirected pair list:
-    iterative min-label propagation — each round every node takes the
-    min of its own label and its neighbors' labels; converged when no
-    label changes.  Rounds = component diameter (dup chains are short;
-    ``max_iter`` is the hard bound).  This is the union-find merge loop
-    of the reference (ergroup.cpp:47-64) re-expressed as joins: the
-    per-round shuffle is one equi-join on node id, and lineage is
-    truncated every round (localCheckpoint) so plans stay constant-size.
-
+    """Distributed connected components over an undirected pair list.
     Returns (node, label) with label = min node id in the component.
+    See ``_connected_components_rounds`` for the algorithm."""
+    return _connected_components_rounds(pairs, max_iter)[0]
+
+
+def _connected_components_rounds(
+    pairs: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Min-label propagation WITH POINTER DOUBLING — each round fuses
+
+      * propagate: label <- min of neighbors' labels
+        (the union-find merge loop of the reference, ergroup.cpp:47-64,
+        re-expressed as an equi-join on node id), and
+      * shortcut:  label <- label(label)
+        (every label value is itself a node id and label(m) <= m, so
+        chasing one hop through the label table contracts the remaining
+        distance to the component minimum geometrically — the find-root
+        path compression of ergroup.cpp:163-171, batched)
+
+    (the label-edge-fused single-join form was measured SLOWER here:
+    16 rounds vs 15 and no broadcast-friendly small join, A/B in
+    NOTES.md).  Propagation alone needs eccentricity rounds — a
+    spam mirror-chain of depth 1000 would cost 1000 full-edge shuffles
+    at crawl scale; with the shortcut, rounds = O(log component_size)
+    (measured: 7 rounds for a depth-32 chain, 15 for a 2699-node
+    near-path component), bounded by ``max_iter``.  Lineage is
+    truncated every round (lazy localCheckpoint: the convergence agg is
+    the action that materializes it — one Spark job per round).
+
+    Returns (labels, rounds_run) — the round count is asserted
+    O(log depth) on an injected chain in tests/test_dedup.py.
     """
     # both edge directions from ONE scan of the (possibly expensive)
     # upstream pair pipeline — a two-branch union would evaluate it twice
@@ -407,15 +447,30 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # equal iff nothing changed — one cheap agg action per round instead
     # of a self-join diff
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
+        # shortcut FIRST against the (checkpointed) previous labels —
+        # both sides of the self-join read materialized data, so `half`
+        # re-appearing in two plan branches below costs only a cheap
+        # re-join of checkpointed frames, never a re-run of the pair
+        # pipeline.  Because propagation then takes the min of
+        # NEIGHBORS' shortcut labels (not raw labels), the contraction
+        # is strictly stronger than shortcut-after-propagate.
+        lut = labels.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        half = labels.join(lut, labels["label"] == lut["l_node"], "left").select(
+            "node", F.coalesce("l_label", "label").alias("label")
+        )
         nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(half, edges["dst"] == half["node"])
             .select(F.col("src").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
         labels = (
-            labels.join(nbr_min, "node", "left")
+            half.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
@@ -429,7 +484,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels
+    return labels, rounds
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:

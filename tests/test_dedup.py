@@ -61,6 +61,27 @@ def test_connected_components_long_chain_and_two_components(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_pointer_doubling_round_bound(spark):
+    """A depth-32 mirror chain (0-1-2-...-32) must converge in
+    O(log depth) rounds, not O(depth): pointer doubling's 'done'
+    criterion (VERDICT r2 item 3).  Plain propagation would need 32
+    rounds = 32 full-edge shuffles at crawl scale."""
+    import math
+
+    depth = 32
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(depth)], "a bigint, b bigint"
+    )
+    labels_df, rounds = dedup._connected_components_rounds(pairs)
+    labels = {r["node"]: r["label"] for r in labels_df.collect()}
+    assert labels == {i: 0 for i in range(depth + 1)}
+    # log-bound + 1 for the shortcut/propagate interleave + 1 for the
+    # final no-change confirmation round (measured: 7 for depth 32;
+    # plain propagation needs depth + 1 = 33)
+    bound = math.ceil(math.log2(depth)) + 2
+    assert rounds <= bound, f"{rounds} rounds for depth {depth} (bound {bound})"
+
+
 def test_verify_pairs_jaccard_scores_candidates_only(spark):
     docs = _docs(
         spark,

@@ -108,6 +108,42 @@ def test_minhash_signatures_are_flat_aggregates(spark):
         assert "array_min" not in plan, "HOF minhash crept back in:\n" + plan[:2000]
 
 
+def test_ivf_assignment_is_flat_aggregates(spark):
+    """IVF centroid assignment must be the explode -> flat-SUM codegen
+    plan: no higher-order function (lambda) anywhere — the old
+    aggregate(zip_with(...)) per row per centroid was the measured
+    ~100 ms/doc interpreted anti-pattern (VERDICT r2 item 2)."""
+    from cvocr_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = ivf._train(emb, ivf.IVF_K, ivf.IVF_ITERS)
+    plan = _plan(ivf.assign_with_dists(emb, centroids))
+    assert "lambdafunction" not in plan, plan[:3000]
+    assert "zip_with" not in plan, plan[:3000]
+    assert "HashAggregate" in plan, plan[:3000]
+
+
+def test_ivf_index_search_prunes_list_partitions(spark):
+    """The materialized-index search must reach the lists scan with a
+    partition filter on cid — at crawl scale that is the difference
+    between touching n_probe/k of the corpus and touching all of it."""
+    import tempfile
+
+    from cvocr_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="cvocr_ivf_plan_")
+    ivf.build_ivf_index(emb, path)
+    plan = _plan(ivf.ivf_search_index(spark, path, n_probe=2, n_queries=3))
+    import re
+
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "/lists" in ln]
+    pruned = [
+        ln for ln in scans if re.search(r"PartitionFilters: \[cid#\d+ IN \(", ln)
+    ]
+    assert pruned, f"no cid partition filter on the lists scan:\n{plan[:3000]}"
+
+
 def test_kmv_values_unchanged_by_partial_plan(spark):
     """Two-level k-smallest == global k-smallest: spot-check the kth
     hash against a driver-side sort of all hashes."""
