@@ -360,6 +360,19 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         ),
     )
 
+    def q_dedup_incremental(s: SparkSession, d: str) -> DataFrame:
+        # growing-crawl dedup: a new batch (fresh docs + exact copies +
+        # near copies of existing docs) probed against the existing 3/4
+        # of the corpus — exact anti-join, then LSH-probe + Jaccard
+        # verify (upload.py:34-76 one-doc ingest, batched)
+        existing, new_batch = dedup.incremental_split(_t(s, d, "documents"))
+        return dedup.dedup_incremental(new_batch, existing)
+
+    c["dedup_incremental"] = (
+        q_dedup_incremental,
+        dedup.dedup_incremental_sql(*dedup.incremental_split_sql()),
+    )
+
     # similarity search
     c["cosine_topk"] = (
         lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),

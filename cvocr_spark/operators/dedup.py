@@ -575,6 +575,202 @@ def dedup_clusters_verified_sql(corpus: str = "documents", threshold: float = 0.
 
 
 # --------------------------------------------------------------------------
+# incremental dedup: new batch vs existing keeper index (VERDICT r2 item 4)
+# --------------------------------------------------------------------------
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the growing-crawl
+    shape (reference analogue: the one-doc-at-a-time ingest path,
+    upload.py:34-76): a 100-TB crawl never re-dedups the whole corpus
+    per batch; it probes the stored index.
+
+      phase 1 (exact):  anti-join on the full-text (length, md5) key;
+        matches -> status 'dup_exact', matched_keeper = min existing
+        doc_id with that hash.
+      phase 2 (near):   band the REMAINING new docs' minhash signatures
+        and equi-join against the existing band table (both sides
+        hot-bucket-guarded), then exact-Jaccard-verify each candidate
+        pair; matches >= threshold -> 'dup_near', matched_keeper = min
+        verified existing doc_id.
+      else              -> 'new_keeper', matched_keeper NULL.
+
+    Decisions are per-new-doc vs EXISTING only; intra-batch dups are
+    resolved by running the batch operators on the survivors (the two
+    stages compose).  doc_id spaces must be disjoint.  At scale the
+    existing side's hash/band tables are precomputed artifacts of past
+    runs (the band table IS the stored LSH index); here they derive
+    in-plan from `existing` so the DuckDB oracle can restate them.
+
+    Returns (doc_id, status, matched_keeper) for every new doc.
+    """
+    h = F.concat_ws(":", F.length("text"), F.md5("text"))
+    ex_hash = (
+        existing.select(h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("matched_keeper"))
+    )
+    nh = new_docs.select("doc_id", "text", h.alias("h"))
+    exact = nh.join(ex_hash, "h").select(
+        "doc_id", F.lit("dup_exact").alias("status"), "matched_keeper"
+    )
+    rest = nh.join(ex_hash, "h", "left_anti").select("doc_id", "text")
+    nb = _safe_banded(_banded(rest), max_bucket)
+    eb = _safe_banded(_banded(existing), max_bucket)
+    cand = (
+        nb.alias("n")
+        .join(
+            eb.alias("e"),
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.band_val") == F.col("e.band_val")),
+        )
+        .select(F.col("n.doc_id").alias("a"), F.col("e.doc_id").alias("b"))
+        .distinct()
+    )
+    corpus = rest.unionByName(existing.select("doc_id", "text"))
+    near = (
+        verify_pairs_jaccard(cand, corpus, threshold)
+        .groupBy("a")
+        .agg(F.min("b").alias("matched_keeper"))
+        .select(
+            F.col("a").alias("doc_id"),
+            F.lit("dup_near").alias("status"),
+            "matched_keeper",
+        )
+    )
+    new_keepers = rest.join(near, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit("new_keeper").alias("status"),
+        F.lit(None).cast("bigint").alias("matched_keeper"),
+    )
+    return exact.unionByName(near).unionByName(new_keepers)
+
+
+def incremental_split_sql(every: int = 4) -> tuple[str, str]:
+    """(existing, new_batch) corpus SQL over documents: existing = 3/4
+    of the corpus; the new batch = the held-out quarter (mostly fresh)
+    + exact copies of existing docs (phase-1 fixture) + near copies
+    with one appended token (phase-2 fixture: J ~ n/(n+1) >= 0.9)."""
+    existing = f"SELECT doc_id, text FROM documents WHERE doc_id % {every} <> 0"
+    new_batch = f"""
+    SELECT doc_id, text FROM documents WHERE doc_id % {every} = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % {every} = 1
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, concat(text, ' qqnearmarker') AS text
+    FROM documents WHERE doc_id % {every} = 2
+    """
+    return existing, new_batch
+
+
+def incremental_split(docs: DataFrame, every: int = 4) -> tuple[DataFrame, DataFrame]:
+    """Spark side of incremental_split_sql (same fixture, same split)."""
+    existing = docs.filter(F.col("doc_id") % every != 0).select("doc_id", "text")
+    fresh = docs.filter(F.col("doc_id") % every == 0).select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") % every == 1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near_copies = docs.filter(F.col("doc_id") % every == 2).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqnearmarker")).alias("text"),
+    )
+    new_batch = fresh.unionByName(exact_copies).unionByName(near_copies)
+    return existing, new_batch
+
+
+def dedup_incremental_sql(
+    existing: str,
+    new_batch: str,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
+) -> str:
+    """DuckDB oracle: the same two-phase decision, restated over the
+    same split corpus."""
+    words = P.words_duck("text")
+    shingles = f"list_distinct({P.shingles_duck(words)})"
+    mh = P.minhash_from_pairs_duck("mhp", MINHASH_K)
+    mh_select = ", ".join(f"{e} AS mh{j}" for j, e in enumerate(mh))
+
+    def banded(src: str) -> str:
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"concat(mh{2 * b}, '_', mh{2 * b + 1}) AS band_val FROM {src}_sigs"
+            for b in range(BANDS)
+        )
+        return bands
+
+    jac = (
+        "round(cast(len(list_intersect(ta.toks, tb.toks)) as double)"
+        " / (len(ta.toks) + len(tb.toks)"
+        " - len(list_intersect(ta.toks, tb.toks))), 4)"
+    )
+    return f"""
+    WITH existing AS ({existing}),
+    newb AS ({new_batch}),
+    ex_hash AS (
+      SELECT concat(cast(length(text) as varchar), ':', md5(text)) AS h,
+             min(doc_id) AS matched_keeper
+      FROM existing GROUP BY 1
+    ),
+    nh AS (
+      SELECT doc_id, text,
+             concat(cast(length(text) as varchar), ':', md5(text)) AS h
+      FROM newb
+    ),
+    exact AS (
+      SELECT nh.doc_id, 'dup_exact' AS status, e.matched_keeper
+      FROM nh JOIN ex_hash e USING (h)
+    ),
+    rest AS (SELECT doc_id, text FROM nh WHERE h NOT IN (SELECT h FROM ex_hash)),
+    rest_paired AS (SELECT doc_id, {P.minhash_pairs_duck(shingles)} AS mhp FROM rest),
+    rest_sigs AS (SELECT doc_id, {mh_select} FROM rest_paired),
+    ex_paired AS (SELECT doc_id, {P.minhash_pairs_duck(shingles)} AS mhp FROM existing),
+    ex_sigs AS (SELECT doc_id, {mh_select} FROM ex_paired),
+    nb AS (
+      SELECT doc_id, band_id, band_val FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_val) AS bucket_n
+        FROM ({banded('rest')})
+      ) WHERE bucket_n <= {max_bucket}
+    ),
+    eb AS (
+      SELECT doc_id, band_id, band_val FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_val) AS bucket_n
+        FROM ({banded('ex')})
+      ) WHERE bucket_n <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS a, e.doc_id AS b
+      FROM nb n JOIN eb e ON n.band_id = e.band_id AND n.band_val = e.band_val
+    ),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM rest
+      UNION ALL
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM existing
+    ),
+    near AS (
+      SELECT a AS doc_id, 'dup_near' AS status, min(b) AS matched_keeper
+      FROM cand p
+      JOIN toks ta ON p.a = ta.doc_id
+      JOIN toks tb ON p.b = tb.doc_id
+      WHERE {jac} >= {threshold}
+      GROUP BY a
+    ),
+    newk AS (
+      SELECT doc_id, 'new_keeper' AS status, cast(NULL as bigint) AS matched_keeper
+      FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    )
+    SELECT doc_id, status, matched_keeper FROM exact
+    UNION ALL SELECT doc_id, status, matched_keeper FROM near
+    UNION ALL SELECT doc_id, status, matched_keeper FROM newk
+    """
+
+
+# --------------------------------------------------------------------------
 # simhash (oracle-exact 16-bit demo; 64-bit production width in simhash64.py)
 # --------------------------------------------------------------------------
 

@@ -82,6 +82,40 @@ def test_connected_components_pointer_doubling_round_bound(spark):
     assert rounds <= bound, f"{rounds} rounds for depth {depth} (bound {bound})"
 
 
+def test_dedup_incremental_rerun_yields_zero_new_keepers(spark):
+    """Re-probing a batch whose texts already live in the index must
+    classify EVERY doc as dup_exact with the existing keeper — the
+    idempotence a growing crawl relies on (VERDICT r2 item 4)."""
+    texts = [(i, f"some document body number {i} with words") for i in range(1, 9)]
+    existing = _docs(spark, texts)
+    rerun = _docs(spark, [(i + 1000, t) for i, t in texts])
+    rows = dedup.dedup_incremental(rerun, existing).collect()
+    assert len(rows) == len(texts)
+    assert all(r["status"] == "dup_exact" for r in rows), rows
+    assert all(r["matched_keeper"] == r["doc_id"] - 1000 for r in rows), rows
+
+
+def test_dedup_incremental_three_statuses(spark):
+    """One fresh doc, one exact copy, one near copy (extra token) ->
+    the three decision branches, with the right keepers."""
+    existing = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+            (12, "completely different content about other things entirely here"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_incremental(new, existing).collect()}
+    assert rows[10]["status"] == "dup_exact" and rows[10]["matched_keeper"] == 1
+    assert rows[11]["status"] == "dup_near" and rows[11]["matched_keeper"] == 1
+    assert rows[12]["status"] == "new_keeper" and rows[12]["matched_keeper"] is None
+
+
 def test_verify_pairs_jaccard_scores_candidates_only(spark):
     docs = _docs(
         spark,
