@@ -88,7 +88,7 @@ def cosine_neardup_pairs(
     dups = base.filter(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
-    corpus = base.unionByName(dups).withColumn("bkt", F.expr(_bucket_expr_spark()))
+    corpus = with_bucket(base.unionByName(dups))
     # window-count guard: the 4-dot-product bucket expression is
     # evaluated ONCE per row (the former groupBy+join guard re-ran it on
     # both plan branches), and the single bkt exchange is the very
@@ -201,21 +201,63 @@ def cosine_neardup_exact(emb: DataFrame, limit_id: int = 100, threshold: float =
     )
 
 
-def _bucket_expr_spark() -> str:
-    planes = P.lsh_planes(N_PLANES, DIM)
-    bits = []
-    for p, row in enumerate(planes):
-        dot = P.dot_spark("embedding", P.plane_literal_spark(row))
-        bits.append(f"(case when {dot} > 0.0d then {1 << p} else 0 end)")
-    return "(" + " + ".join(bits) + ")"
+def _planes_int(n_planes: int) -> list[list[int]]:
+    """Hyperplane coefficients as EXACT integers (the seeded planes are
+    3-dp literals, so x1000 is lossless)."""
+    return [
+        [round(v * 1000) for v in row] for row in P.lsh_planes(n_planes, DIM)
+    ]
 
 
-def _bucket_expr_duck(tbl: str) -> str:
-    planes = P.lsh_planes(N_PLANES, DIM)
-    bits = []
+def with_bucket(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Adds the sign-projection bucket id as FLAT integer arithmetic,
+    staged as three narrow projections (quantized elements -> per-plane
+    dot products -> bucket bits) so each generated function stays under
+    janino's method-size limit: codegen verified up to n_planes=8; at
+    12 (sweep-only, never a shipped config) whole-stage codegen still
+    falls back to interpreted eval — correct, just slower.  Integer
+    dots are
+    exact and order-independent — the old float HOF fold
+    (aggregate(zip_with(...)) per plane per row) was the interpreted
+    anti-pattern this repo keeps measuring at ~100x (BENCH notes)."""
+    vq = [
+        F.expr(
+            f"cast(round(cast(element_at(embedding, {d + 1}) as double)"
+            f" * 1000) as bigint)"
+        ).alias(f"_vq{d}")
+        for d in range(DIM)
+    ]
+    staged = df.select("*", *vq)
+    planes = _planes_int(n_planes)
+    dots = []
     for p, row in enumerate(planes):
-        dot = P.dot_duck(f"{tbl}.embedding", P.plane_literal_duck(row))
-        bits.append(f"(case when {dot} > 0.0 then {1 << p} else 0 end)")
+        terms = [F.col(f"_vq{d}") * F.lit(row[d]) for d in range(DIM) if row[d] != 0]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        dots.append(acc.alias(f"_dot{p}"))
+    staged = staged.select("*", *dots)
+    bkt = None
+    for p in range(len(planes)):
+        bit = F.when(F.col(f"_dot{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bkt = bit if bkt is None else bkt + bit
+    return staged.withColumn("bkt", bkt).drop(
+        *[f"_vq{d}" for d in range(DIM)], *[f"_dot{p}" for p in range(len(planes))]
+    )
+
+
+def _bucket_expr_duck(tbl: str, n_planes: int = N_PLANES) -> str:
+    """Same integer dot products in DuckDB (bigint list_sum is exact,
+    so summation order cannot flip a sign)."""
+    bits = []
+    for p, row in enumerate(_planes_int(n_planes)):
+        coeffs = "[" + ", ".join(str(v) for v in row) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {DIM} + 1), i -> "
+            f"cast(round(cast({tbl}.embedding[i] as double) * 1000) as bigint)"
+            f" * ({coeffs})[i]))"
+        )
+        bits.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
     return "(" + " + ".join(bits) + ")"
 
 
@@ -223,7 +265,7 @@ def lsh_ann_topk(emb: DataFrame, n_queries: int = 5, k: int = 3) -> DataFrame:
     """Scale-path ANN: score only same-bucket pairs (16 buckets here).
     At 10^12 rows the bucket id becomes the partition key: the corpus
     is written bucketed, and each query touches one bucket."""
-    bucketed = emb.withColumn("bkt", F.expr(_bucket_expr_spark()))
+    bucketed = with_bucket(emb)
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bkt"
     )
@@ -243,19 +285,41 @@ def lsh_ann_topk(emb: DataFrame, n_queries: int = 5, k: int = 3) -> DataFrame:
     )
 
 
+def _probe_flips(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for all probe buckets within Hamming distance
+    ``radius`` of a query's own bucket (0 = the bucket itself)."""
+    flips = [0] + [1 << p for p in range(n_planes)]
+    if radius >= 2:
+        flips += [
+            (1 << p) | (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    return flips
+
+
 def lsh_ann_multiprobe_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 3
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    n_planes: int = N_PLANES,
+    radius: int = 1,
 ) -> DataFrame:
-    """Multi-probe LSH ANN: each query probes its own bucket plus the
-    N_PLANES buckets at Hamming distance 1 (one sign flipped) — the
-    standard recall-vs-cost knob for sign-projection LSH.  Candidate
-    set grows ~(1 + N_PLANES)x while the corpus side is untouched: the
-    probe list explodes on the (tiny, broadcast) query side only, so at
-    10^12 rows the corpus still sees exactly one bucket-pruned scan.
-    Recall vs the exact baseline is characterized in tests/test_ann.py."""
-    bucketed = emb.withColumn("bkt", F.expr(_bucket_expr_spark()))
+    """Multi-probe LSH ANN: each query probes its own bucket plus every
+    bucket within Hamming distance ``radius`` (sign flips) — the
+    standard recall-vs-cost knob for sign-projection LSH.  The probe
+    list explodes on the (tiny, broadcast) query side only, so at
+    10^12 rows the corpus still sees exactly one bucket-pruned scan;
+    the probed fraction is |probes| / 2^n_planes.  The recall@k sweep
+    over (n_planes, radius) lives in tests/goldens/ann_recall.json
+    (tests/sweep_ann_recall.py); the contract pins the documented
+    operating point chosen there."""
+    bucketed = with_bucket(emb, n_planes)
     probes = F.array(
-        F.col("bkt"), *[F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
+        *[
+            F.col("bkt").bitwiseXOR(F.lit(m))
+            for m in _probe_flips(n_planes, radius)
+        ]
     )
     q = (
         bucketed.filter(F.col("vec_id") < n_queries)
@@ -282,12 +346,16 @@ def lsh_ann_multiprobe_topk(
     )
 
 
-def lsh_ann_multiprobe_topk_sql(n_queries: int = 5, k: int = 3) -> str:
+def lsh_ann_multiprobe_topk_sql(
+    n_queries: int = 5, k: int = 3, n_planes: int = N_PLANES, radius: int = 1
+) -> str:
     cos = P.cosine_duck("q.qe", "c.ce")
-    probe_list = ", ".join(["bkt"] + [f"xor(bkt, {1 << p})" for p in range(N_PLANES)])
+    probe_list = ", ".join(
+        f"xor(bkt, {m})" if m else "bkt" for m in _probe_flips(n_planes, radius)
+    )
     return f"""
     WITH bucketed AS (
-      SELECT vec_id, embedding, {_bucket_expr_duck('embeddings')} AS bkt
+      SELECT vec_id, embedding, {_bucket_expr_duck('embeddings', n_planes)} AS bkt
       FROM embeddings
     ),
     q AS (
