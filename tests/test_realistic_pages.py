@@ -214,6 +214,7 @@ near-vertical strata visible on the east face.</p>
 </main>"""
     + _CHROME_BOTTOM,
     keep=[
+        "Mount Karstfell",
         "Mount Karstfell is a limestone peak in the northern range whose summit "
         "ridge forms the watershed between two major river systems of the region.",
         "The first recorded ascent was made in 1887 by a survey team mapping the "
@@ -409,6 +410,8 @@ collapse, then finish with lemon juice and plenty of black pepper.</p>
     + _CHROME_BOTTOM,
     keep=[
         "Weeknight lentil soup that actually tastes like something",
+        "Ingredients",
+        "Method",
         "This is the soup I make when the fridge is nearly empty: one pot, forty "
         "minutes, and it reheats better the next day than it tastes the first night.",
         "two cups of brown lentils, rinsed and picked over for stones",
@@ -473,6 +476,7 @@ numbers are right simply stops happening.</p>
 </body></html>""",
     keep=[
         "Ship data pipelines your whole team can actually understand",
+        "Loved by data teams",
         "Acme turns your scattered cron jobs into one declarative pipeline with "
         "lineage, retries and alerting built in, so the person on call at three "
         "in the morning can see exactly which upstream broke and why.",
@@ -497,7 +501,11 @@ _page(
 <div class="pager"><a href="/s?p=2">more results</a></div>
 </main>"""
     + _CHROME_BOTTOM,
-    keep=[],  # a SERP has no main content either
+    keep=[
+        # the query-echo heading is the only non-link text; everything
+        # else must vanish (see test_index_pages_extract_near_nothing)
+        'Results for "lentil soup"',
+    ],
     drop=["Weeknight lentil soup recipe", "more results", "Sign up free"],
 )
 
@@ -513,6 +521,7 @@ the address for typos or head back to the front page to start again.</p>
     keep=[
         # the apology paragraph IS the page's only text; keeping it is the
         # defensible call (quality filters downstream handle 404 text)
+        "Page not found",
         "The page you were looking for has been moved or no longer exists; "
         "check the address for typos or head back to the front page to start "
         "again.",
@@ -540,6 +549,9 @@ more comfortably than anything else in its size class.</p>
     + _CHROME_BOTTOM,
     keep=[
         "Fjellvann 30L waterproof hiking pack",
+        "Description",
+        "volume 30 litres",
+        "weight 840 grams",
         "The Fjellvann 30 is a fully welded roll-top pack built for wet-weather "
         "day hikes, with a stiffened back panel that keeps the load stable on "
         "scrambles and a side zip that reaches the bottom of the main compartment.",
@@ -591,6 +603,7 @@ never needs root.
 If the bootstrap reports a missing compiler, install the build tools for
 your platform and run it again; partial installs are safe to repeat.""",
     keep=[
+        "INSTALLATION NOTES",
         "Unpack the archive into a directory of your choice and run the "
         "bootstrap script once as a regular user; it creates a local "
         "configuration file and never needs root.",
@@ -698,6 +711,7 @@ rotation schedule.</p>
 </main>"""
     + _CHROME_BOTTOM,
     keep=[
+        "Terms of service",
         "By creating an account you agree that the service is provided as is, "
         "that scheduled maintenance may interrupt availability with reasonable "
         "notice, and that your stored data remains yours and is exportable at "
@@ -733,6 +747,186 @@ from corrections listed in the appendix and newly drawn maps.</p>
 )
 
 
+# -- 25. nested templates: chrome wrapped in chrome (r3: VERDICT item 6) ------
+_page(
+    "nested_templates",
+    b"""<html><head><title>n</title></head><body>
+<div class="shell"><div class="shell-inner">
+""" + _CHROME_TOP.encode() + b"""
+<div class="subsite"><header><nav><ul><li><a href="/docs">Docs home</a></li>
+<li><a href="/docs/api">API</a></li><li><a href="/docs/faq">FAQ</a></li></ul></nav></header>
+<main><article>
+<h1>Configuring retry backoff</h1>
+<p>The client retries failed calls with exponential backoff starting at one
+second and doubling to a ceiling of two minutes, and it retries forever
+unless the error is marked permanent by the server.</p>
+<p>Set the ceiling lower for interactive tools and higher for nightly batch
+jobs, which would rather wait out a long incident than fail the whole run.</p>
+</article></main>
+<footer><a href="/docs/edit">Edit this page</a> <a href="/docs/src">View source</a></footer>
+</div>
+""" + _CHROME_BOTTOM.encode() + b"""
+</div></div></body></html>""",
+    keep=[
+        "Configuring retry backoff",
+        "The client retries failed calls with exponential backoff starting at "
+        "one second and doubling to a ceiling of two minutes, and it retries "
+        "forever unless the error is marked permanent by the server.",
+        "Set the ceiling lower for interactive tools and higher for nightly "
+        "batch jobs, which would rather wait out a long incident than fail the "
+        "whole run.",
+    ],
+    drop=["Docs home", "Edit this page", "View source", "Section One", "cookie settings"],
+)
+
+# -- 26. Arabic RTL article with Arabic boilerplate ---------------------------
+_page(
+    "arabic_rtl",
+    """<html dir="rtl" lang="ar"><head><meta charset="utf-8"><title>a</title></head><body>
+<header><nav><ul><li><a href="/">الصفحة الرئيسية</a></li><li><a href="/news">الأخبار</a></li>
+<li><a href="/login">تسجيل الدخول</a></li></ul></nav></header>
+<main><article>
+<h1>افتتاح خط السكة الجديد بين المدينتين</h1>
+<p>افتتح خط السكة الحديدية الجديد يوم الثلاثاء بعد خمس سنوات من الأعمال، وهو يختصر زمن الرحلة بين المدينتين من ثلاث ساعات إلى خمسين دقيقة فقط حسب الجدول المعلن.</p>
+<p>وقالت هيئة النقل إن التذاكر ستباع عبر التطبيق والمحطات معا، وإن الأسعار ستبقى مخفضة خلال الشهر الأول لتشجيع الركاب على تجربة الخط.</p>
+</article></main>
+<footer><p>جميع الحقوق محفوظة ٢٠٢٥</p><a href="/terms">شروط الاستخدام</a></footer>
+</body></html>""".encode(),
+    keep=[
+        "افتتاح خط السكة الجديد بين المدينتين",
+        "افتتح خط السكة الحديدية الجديد يوم الثلاثاء بعد خمس سنوات من الأعمال، وهو يختصر زمن الرحلة بين المدينتين من ثلاث ساعات إلى خمسين دقيقة فقط حسب الجدول المعلن.",
+        "وقالت هيئة النقل إن التذاكر ستباع عبر التطبيق والمحطات معا، وإن الأسعار ستبقى مخفضة خلال الشهر الأول لتشجيع الركاب على تجربة الخط.",
+    ],
+    drop=["تسجيل الدخول", "جميع الحقوق محفوظة"],
+)
+
+# -- 27. Hebrew article with mixed RTL/LTR (latin product names inline) ------
+_page(
+    "hebrew_mixed_rtl",
+    """<html dir="rtl" lang="he"><head><meta charset="utf-8"><title>h</title></head><body>
+<header><nav><a href="/">דף הבית</a> <a href="/tech">טכנולוגיה</a> <a href="/join">הרשמה</a></nav></header>
+<main><article>
+<h1>סקירה: מחשב הלוח Quartz Tab 11 מגיע לשוק</h1>
+<p>מכשיר Quartz Tab 11 מציע מסך בהיר במיוחד וסוללה שמחזיקה יום עבודה מלא, אבל המקלדת הנלווית נמכרת בנפרד ומייקרת את העסקה באופן מורגש.</p>
+<p>בבדיקות שלנו המכשיר סיים עריכת וידאו בסיסית מהר יותר מקודמו בכרבע, והחימום נשאר נמוך גם אחרי שעה של משחק רציף.</p>
+</article></main>
+<footer><p>כל הזכויות שמורות</p><a href="/privacy">מדיניות פרטיות</a></footer>
+</body></html>""".encode(),
+    keep=[
+        "סקירה: מחשב הלוח Quartz Tab 11 מגיע לשוק",
+        "מכשיר Quartz Tab 11 מציע מסך בהיר במיוחד וסוללה שמחזיקה יום עבודה מלא, אבל המקלדת הנלווית נמכרת בנפרד ומייקרת את העסקה באופן מורגש.",
+        "בבדיקות שלנו המכשיר סיים עריכת וידאו בסיסית מהר יותר מקודמו בכרבע, והחימום נשאר נמוך גם אחרי שעה של משחק רציף.",
+    ],
+    drop=["הרשמה", "כל הזכויות שמורות"],
+)
+
+# -- 28. Chinese page with CJK chrome (nav/footer boilerplate in Chinese) -----
+_page(
+    "cjk_boilerplate",
+    """<html lang="zh"><head><meta charset="utf-8"><title>z</title></head><body>
+<header><nav><ul><li><a href="/">首页</a></li><li><a href="/news">新闻</a></li>
+<li><a href="/login">登录</a></li><li><a href="/reg">免费注册</a></li></ul></nav></header>
+<main><article>
+<h1>市图书馆完成扩建后重新开放</h1>
+<p>经过两年的扩建工程，市图书馆于本周一重新向公众开放，新馆面积比原来增加了一倍，并首次设立了面向青少年的独立阅览区。</p>
+<p>馆方表示，开放首周将延长服务时间至晚上十点，读者凭现有借书证即可进入所有新区域，无需重新办理手续。</p>
+</article></main>
+<aside><h3>热门推荐</h3><ul><li><a href="/a">本地天气预警</a></li><li><a href="/b">地铁延线规划</a></li></ul></aside>
+<footer><p>版权所有 2025 示例新闻网</p><a href="/terms">使用条款</a> <a href="/privacy">隐私政策</a></footer>
+</body></html>""".encode(),
+    keep=[
+        "市图书馆完成扩建后重新开放",
+        "经过两年的扩建工程，市图书馆于本周一重新向公众开放，新馆面积比原来增加了一倍，并首次设立了面向青少年的独立阅览区。",
+        "馆方表示，开放首周将延长服务时间至晚上十点，读者凭现有借书证即可进入所有新区域，无需重新办理手续。",
+    ],
+    drop=["免费注册", "热门推荐", "版权所有", "隐私政策"],
+)
+
+# -- 29. huge single-block page (one ~6k-char paragraph: stresses the
+#        intra-block split + bounded re-split path on real prose) -------------
+_HUGE_SENTENCE = (
+    "The survey crews moved up the valley a mile at a time, driving stakes "
+    "into frozen ground and arguing about grades that would decide which "
+    "villages got a station and which got a whistle stop. "
+)
+_page(
+    "huge_single_block",
+    (
+        "<html><head><title>g</title></head><body>"
+        + _CHROME_TOP
+        + "<main><article><p>"
+        + _HUGE_SENTENCE * 30
+        + "</p></article></main>"
+        + _CHROME_BOTTOM
+        + "</body></html>"
+    ).encode(),
+    keep=[(_HUGE_SENTENCE * 30).strip()],
+    drop=["Sign up free", "cookie settings"],
+)
+
+# -- 30. div-soup: content buried under ~40 wrapper divs ----------------------
+_page(
+    "deep_div_soup",
+    (
+        "<html><head><title>d</title></head><body>"
+        + _CHROME_TOP
+        + "<div>" * 40
+        + "<h1>Why the harbour lights are green on the north pier</h1>"
+        + "<p>The colour scheme dates to a nineteenth century ordinance that "
+        + "reserved red lamps for the coal wharves, and the harbour board has "
+        + "simply never seen a reason to change a rule every sailor already "
+        + "knows.</p>"
+        + "</div>" * 40
+        + _CHROME_BOTTOM
+        + "</body></html>"
+    ).encode(),
+    keep=[
+        "Why the harbour lights are green on the north pier",
+        "The colour scheme dates to a nineteenth century ordinance that "
+        "reserved red lamps for the coal wharves, and the harbour board has "
+        "simply never seen a reason to change a rule every sailor already "
+        "knows.",
+    ],
+    drop=["Section Two", "terms of use"],
+)
+
+# -- 31. template-in-template ad sandwich: content interleaved with repeated
+#        identical ad units (the repeated-unit shape of real CMS output) ------
+_AD_UNIT = (
+    '<div class="adunit"><span>Advertisement</span>'
+    '<a href="/click">Shop the winter sale now</a></div>'
+)
+_page(
+    "ad_sandwich",
+    (
+        "<html><head><title>s</title></head><body>"
+        + _CHROME_TOP
+        + "<main><article><h1>Night trains return to the coastal line</h1>"
+        + _AD_UNIT
+        + "<p>The overnight service resumes next month with two departures a "
+        + "week, reviving a route that ended fifteen years ago when the rolling "
+        + "stock was sold abroad.</p>"
+        + _AD_UNIT
+        + "<p>Operators say demand from hikers and festival crowds made the "
+        + "case, and the timetable leaves town late enough to catch the last "
+        + "connections from the capital.</p>"
+        + _AD_UNIT
+        + "</article></main>"
+        + _CHROME_BOTTOM
+        + "</body></html>"
+    ).encode(),
+    keep=[
+        "Night trains return to the coastal line",
+        "The overnight service resumes next month with two departures a week, "
+        "reviving a route that ended fifteen years ago when the rolling stock "
+        "was sold abroad.",
+        "Operators say demand from hikers and festival crowds made the case, "
+        "and the timetable leaves town late enough to catch the last "
+        "connections from the capital.",
+    ],
+    drop=["Advertisement", "Shop the winter sale now", "Sign up free"],
+)
+
 # -- harness -----------------------------------------------------------------
 
 
@@ -744,13 +938,45 @@ def _metrics(p: Page) -> dict:
     viol = sum(len(s) for s in p.drop if s in joined)
     recall = keep_hit / keep_total if keep_total else 1.0
     precision = 1.0 - (viol / len(joined)) if joined else 1.0
+    # EXHAUSTIVE precision (r3, VERDICT item 6): every extracted
+    # non-space char must be covered by some keep span — labels are
+    # exhaustive per page, so anything uncovered is a leak by
+    # definition, not merely a spot-listed one.
+    covered = [False] * len(joined)
+    for s in p.keep:
+        start = 0
+        while True:
+            i = joined.find(s, start)
+            if i < 0:
+                break
+            for j in range(i, i + len(s)):
+                covered[j] = True
+            start = i + 1
+    nonspace = [i for i, ch in enumerate(joined) if ch != " "]
+    exh = (
+        sum(1 for i in nonspace if covered[i]) / len(nonspace)
+        if nonspace
+        else 1.0
+    )
+    segs, cur = [], ""
+    for i, ch in enumerate(joined):
+        if not covered[i]:
+            cur += ch
+        else:
+            if cur.strip():
+                segs.append(cur.strip())
+            cur = ""
+    if cur.strip():
+        segs.append(cur.strip())
     return {
         "page": p.name,
         "recall": round(recall, 4),
         "precision": round(precision, 4),
+        "precision_exhaustive": round(exh, 4),
         "extracted_chars": len(r.text),
         "missed": [s[:60] for s in p.keep if s not in joined],
         "leaked": [s[:60] for s in p.drop if s in joined],
+        "uncovered": [s[:60] for s in segs[:5]],
     }
 
 
@@ -758,22 +984,28 @@ def test_realistic_corpus_precision_recall():
     rows = [_metrics(p) for p in PAGES]
     mean_recall = sum(r["recall"] for r in rows) / len(rows)
     mean_precision = sum(r["precision"] for r in rows) / len(rows)
+    mean_exh = sum(r["precision_exhaustive"] for r in rows) / len(rows)
     out = {
         "n_pages": len(rows),
         "mean_recall": round(mean_recall, 4),
         "mean_precision": round(mean_precision, 4),
+        "mean_precision_exhaustive": round(mean_exh, 4),
         "pages": rows,
     }
     with open(os.path.join(HERE, "goldens", "realistic_metrics.json"), "w") as f:
         json.dump(out, f, indent=1)
     report = "\n".join(
         f"{r['page']:22s} recall={r['recall']:.2f} precision={r['precision']:.2f}"
+        f" exh={r['precision_exhaustive']:.2f}"
         + (f" missed={r['missed']}" if r["missed"] else "")
         + (f" leaked={r['leaked']}" if r["leaked"] else "")
+        + (f" uncovered={r['uncovered']}" if r["uncovered"] else "")
         for r in rows
     )
+    assert len(rows) >= 30, f"corpus shrank to {len(rows)} pages"
     assert mean_recall >= 0.9, f"mean recall {mean_recall:.3f}\n{report}"
     assert mean_precision >= 0.95, f"mean precision {mean_precision:.3f}\n{report}"
+    assert mean_exh >= 0.99, f"mean exhaustive precision {mean_exh:.4f}\n{report}"
     for r in rows:
         assert r["recall"] >= 0.5, f"{r['page']} recall collapsed\n{report}"
         assert r["precision"] >= 0.8, f"{r['page']} precision collapsed\n{report}"
