@@ -1,2 +1,6 @@
-from .extract_stream import extract_pages_stream, run_stream_to_parquet  # noqa: F401
+from .extract_stream import (  # noqa: F401
+    extract_pages_stream,
+    run_stream_to_parquet,
+    run_stream_with_lineage,
+)
 from .stateful import dedup_urls_stream, windowed_counts_stream  # noqa: F401

@@ -58,3 +58,80 @@ def run_stream_to_parquet(
         .outputMode("append")
         .start()
     )
+
+
+def run_stream_with_lineage(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    manifest_dir: str | None = None,
+    cfg: KernelConfig = DEFAULT_CONFIG,
+    n_buckets: int = 64,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming extraction with the SAME lineage story as the batch
+    path (tableio.py manifests): every microbatch writes output rows
+    carrying (bucket, batch_id) and appends one manifest row per bucket
+    touched — so a killed stream resumes from the checkpoint without
+    reprocessing, downstream audits read one manifest whether rows
+    arrived via backfill or stream, and a REPLAYED microbatch (failure
+    after the sink write but before the checkpoint commit — the gap the
+    built-in parquet sink closes with _spark_metadata, which foreachBatch
+    loses) is detected by its batch_id in the manifest and skipped:
+    the manifest anti-join IS the idempotence, exactly as in the batch
+    run_extraction.  Returns the StreamingQuery."""
+    manifest_dir = manifest_dir or output_dir.rstrip("/") + "_manifest"
+    ext = extract_pages_stream(spark, input_dir, cfg, max_files_per_trigger)
+    write_batch = lineage_batch_writer(spark, output_dir, manifest_dir, n_buckets)
+    return (
+        ext.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lineage_batch_writer(
+    spark: SparkSession, output_dir: str, manifest_dir: str, n_buckets: int = 64
+):
+    """The idempotent microbatch writer behind run_stream_with_lineage,
+    exposed so the replay path is unit-testable: a second call with an
+    already-committed batch_id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tableio import ParquetTableIO, _with_bucket
+
+    io = ParquetTableIO(spark)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        if io.exists(manifest_dir):
+            done = {
+                r["batch_id"]
+                for r in io.read(manifest_dir).select("batch_id").distinct().collect()
+            }
+            if batch_id in done:
+                return  # replayed microbatch: already fully committed
+        t0 = _time.perf_counter()
+        # the SAME bucket derivation as the batch manifest (tableio), so
+        # batch and stream rows audit under one lineage key space
+        out = _with_bucket(df, n_buckets).withColumn("batch_id", F.lit(batch_id))
+        out.write.mode("append").parquet(output_dir)
+        wall_us = int((_time.perf_counter() - t0) * 1e6)
+        mani = (
+            spark.read.parquet(output_dir)
+            .filter(F.col("batch_id") == batch_id)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"))
+            .select(
+                "bucket",
+                F.lit(batch_id).alias("batch_id"),
+                "n_docs",
+                F.lit(wall_us).alias("wall_us"),
+            )
+        )
+        mani.write.mode("append").parquet(manifest_dir)
+
+    return write_batch

@@ -158,6 +158,85 @@ def test_watermarked_window_counts(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_kill_resume_with_lineage(spark):
+    """Streaming mirror of test_resume_after_partial_run (VERDICT r2
+    item 8): run the lineage stream over a partial input drop, 'kill'
+    it (query ends: availableNow), drop more files, resume on the SAME
+    checkpoint — the resumed run must process ONLY the new files, the
+    combined output must equal the batch path byte-for-byte, and every
+    (batch_id) manifest group must be unique (nothing reprocessed).
+    A replayed microbatch (same batch_id re-delivered after a crash
+    between sink write and checkpoint commit) must be a no-op."""
+    import pyspark.sql.functions as F
+
+    from cvocr_spark.streaming import run_stream_with_lineage
+
+    d = tempfile.mkdtemp(prefix="cvocr_sresume_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pages = gen_pages_df(spark, docs).cache()
+        n = pages.count()
+        in_dir, out_dir, ckpt = d + "/in", d + "/out", d + "/ckpt"
+        mani_dir = out_dir + "_manifest"
+
+        # drop 1: half the corpus; run to completion and stop (the
+        # deterministic stand-in for a kill: the checkpoint is exactly
+        # a mid-ingest state when drop 2 lands later)
+        pages.filter("length(url) % 2 = 0").write.mode("overwrite").parquet(in_dir)
+        q1 = run_stream_with_lineage(spark, in_dir, out_dir, ckpt, mani_dir)
+        q1.awaitTermination(120)
+        n1 = spark.read.parquet(out_dir).count()
+        mani1 = spark.read.parquet(mani_dir)
+        batches1 = {r["batch_id"] for r in mani1.select("batch_id").distinct().collect()}
+        assert 0 < n1 < n
+
+        # drop 2: the rest; resume on the same checkpoint
+        pages.filter("length(url) % 2 = 1").write.mode("append").parquet(in_dir)
+        q2 = run_stream_with_lineage(spark, in_dir, out_dir, ckpt, mani_dir)
+        q2.awaitTermination(120)
+
+        out = spark.read.parquet(out_dir)
+        assert out.count() == n
+        assert out.select("url").distinct().count() == n  # nothing reprocessed
+        mani2 = spark.read.parquet(mani_dir)
+        batches2 = {r["batch_id"] for r in mani2.select("batch_id").distinct().collect()}
+        assert batches1 < batches2  # resume added NEW batch ids only
+        # manifest n_docs audits the sink exactly, per lineage bucket
+        sums = {
+            r["bucket"]: r["total"]
+            for r in mani2.groupBy("bucket").agg(F.sum("n_docs").alias("total")).collect()
+        }
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in out.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert sums == got
+
+        # resumed result == batch result, byte-for-byte
+        batch = extract_pages(spark.read.parquet(in_dir), salted=False).select(
+            "url", "text"
+        )
+        streamed = out.select("url", "text")
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+
+        # idempotence under microbatch REPLAY (crash between sink write
+        # and checkpoint commit re-delivers the same batch_id): feeding
+        # an already-committed batch_id through the writer is a no-op
+        from cvocr_spark.streaming.extract_stream import lineage_batch_writer
+
+        writer = lineage_batch_writer(spark, out_dir, mani_dir)
+        replay_df = extract_pages(
+            spark.read.parquet(in_dir).limit(5), salted=False
+        )
+        writer(replay_df, min(batches2))  # replay: must be skipped
+        assert spark.read.parquet(out_dir).count() == n
+        assert spark.read.parquet(mani_dir).count() == mani2.count()
+        pages.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_matches_batch(spark):
     d = tempfile.mkdtemp(prefix="cvocr_stream_")
     try:
