@@ -50,10 +50,12 @@ HEADLINE = [
     "minhash_lsh_pairs_k128",
     "minhash_verified_dups",
     "dedup_clusters",
+    "dedup_incremental",
     "simhash64_neardup",
     "cosine_topk",
     "ann_numpy_topk",
     "ivf_ann_topk",
+    "ivf_ann_search",
     "token_stats",
 ]
 

@@ -410,7 +410,8 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         # independent check of the round-trip through parquet.
         import hashlib
 
-        path = f"/tmp/cvocr_ivf_{hashlib.md5(d.encode()).hexdigest()[:10]}"
+        key = f"{d}:k{ivf.IVF_K}:i{ivf.IVF_ITERS}"  # index = f(input, params)
+        path = f"/tmp/cvocr_ivf_{hashlib.md5(key.encode()).hexdigest()[:10]}"
         return ivf.ivf_build_and_search(
             s, _t(s, d, "embeddings"), path, n_probe=4, n_queries=8
         )

@@ -144,6 +144,20 @@ def test_ivf_index_search_prunes_list_partitions(spark):
     assert pruned, f"no cid partition filter on the lists scan:\n{plan[:3000]}"
 
 
+def test_dedup_incremental_plan_shape(spark):
+    """Incremental dedup's plan must stay linear in the two inputs:
+    no cartesian product anywhere, and the exact phase's anti-join on
+    the hash key visible — the shape that lets a daily batch probe a
+    10^12-row index."""
+    from cvocr_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    existing, new_batch = dedup.incremental_split(docs)
+    plan = _plan(dedup.dedup_incremental(new_batch, existing))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+
+
 def test_kmv_values_unchanged_by_partial_plan(spark):
     """Two-level k-smallest == global k-smallest: spot-check the kth
     hash against a driver-side sort of all hashes."""
