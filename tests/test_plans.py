@@ -144,6 +144,44 @@ def test_ivf_index_search_prunes_list_partitions(spark):
     assert pruned, f"no cid partition filter on the lists scan:\n{plan[:3000]}"
 
 
+def test_order_dependent_queries_have_partitioned_windows(spark):
+    """sessionize / gaps-islands / as-of: every window must partition by
+    user_id (a GLOBAL window would serialize 10^12 rows through one
+    task) and the whole chain must reuse ONE exchange on user_id —
+    lag + running-sum + label windows share their partitioning."""
+    import re
+
+    from cvocr_spark.operators import asof, windows
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for df in (windows.sessionize(ev), windows.gaps_islands(ev),
+               asof.asof_join_marks(ev)):
+        plan = _plan(df)
+        for ln in plan.splitlines():
+            if "windowspecdefinition" in ln:
+                assert "windowspecdefinition(user_id" in ln, ln
+        ex = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+        assert len(ex) == 1, plan[:2500]
+
+
+def test_dim_joins_broadcast_small_side(spark):
+    """Joins against small dimension tables must build a broadcast hash
+    relation (the corpus side never shuffles for the join) and no plan
+    may contain a cartesian product."""
+    from cvocr_spark.operators import asof, relational
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for df in (relational.equi_join_agg(orders, customer),
+               asof.big_join_smj(lineitem, orders)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan[:2500]
+        # AQE picks broadcast at this size; at scale the same plan
+        # degrades gracefully to SMJ — both acceptable, cartesian never
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:2500]
+
+
 def test_dedup_incremental_plan_shape(spark):
     """Incremental dedup's plan must stay linear in the two inputs:
     no cartesian product anywhere, and the exact phase's anti-join on
