@@ -197,3 +197,67 @@ def kmv_distinct_sketch_sql() -> str:
                  / exact_users, 4) AS rel_err
     FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type
     """
+
+
+# -- HLL union sketch (VERDICT r2 item 9: the mergeable distinct sketch
+# whose PARTIALS union across partitions/tables by register-wise max) -------
+
+HLL_P = 8                      # 2^8 = 256 registers, sigma ~ 1.04/16 = 6.5%
+HLL_M = 1 << HLL_P
+HLL_TAIL_BITS = 60 - HLL_P     # hash60 -> top 8 bits register, 52-bit tail
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_partials(df: DataFrame, group_col: str, key_expr: str) -> DataFrame:
+    """(group, register, max_rho): the MERGEABLE partial form of an HLL
+    sketch — one row per non-empty register.  Everything is flat JVM
+    arithmetic on the portable 60-bit md5 hash: register = top HLL_P
+    bits, rho = leading-zero count of the 52-bit tail + 1 (computed as
+    bit-length via length(bin(x)) — exact integer, no float log).  The
+    groupBy MAX combines map-side, which IS the sketch's mergeability:
+    partial sketches per partition/day/table union by register-wise max
+    (hll_merge), never by re-reading raw data."""
+    mask = (1 << HLL_TAIL_BITS) - 1
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(P.hash60_spark(key_expr, "hll")).alias("h"),
+    )
+    return (
+        hashed.select(
+            "grp",
+            F.expr(f"cast(shiftright(h, {HLL_TAIL_BITS}) as int)").alias("register"),
+            F.expr(
+                f"case when (h & {mask}L) > 0"
+                f" then {HLL_TAIL_BITS + 1} - length(bin(h & {mask}L))"
+                f" else {HLL_TAIL_BITS + 1} end"
+            ).alias("rho"),
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*partials: DataFrame) -> DataFrame:
+    """Union any number of partial sketches: register-wise max."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("grp", "register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(partials: DataFrame) -> DataFrame:
+    """(grp, hll_estimate) from partial sketches, with the standard
+    small-range linear-counting correction (absent registers are zero
+    registers: rho >= 1 for every hit, so absent == never hit)."""
+    agg = partials.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+        F.count("*").alias("n_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_present")
+    z = F.col("s") + zeros.cast("double")
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / z
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select("grp", F.round(est, 2).alias("hll_estimate"))

@@ -1,0 +1,72 @@
+"""HLL union sketch (VERDICT r2 item 9): mergeable distinct-count
+partials whose union is register-wise max — exactness of the MERGE is
+asserted bit-for-bit (that is the property that lets per-day/partition
+sketches combine without re-reading raw data); the ESTIMATE is
+asserted within the sketch's statistical error bound vs exact."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvocr_spark.operators import temporal  # noqa: E402
+
+SF_DIR = os.environ.get("CVOCR_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _regs(df):
+    return {(r["grp"], r["register"]): r["max_rho"] for r in df.collect()}
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """sketch(A UNION B) == merge(sketch(A), sketch(B)), register-exact:
+    the mergeability contract."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = ev.filter("event_id % 2 = 0")
+    b = ev.filter("event_id % 2 = 1")
+    whole = temporal.hll_partials(ev, "event_type", "cast(user_id as string)")
+    merged = temporal.hll_merge(
+        temporal.hll_partials(a, "event_type", "cast(user_id as string)"),
+        temporal.hll_partials(b, "event_type", "cast(user_id as string)"),
+    )
+    assert _regs(whole) == _regs(merged)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """|est - exact| / exact <= 4 sigma (sigma = 1.04/sqrt(256) = 6.5%)
+    per group — a deterministic corpus, so this is a frozen fact, not a
+    flaky statistical test."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    est = {
+        r["grp"]: r["hll_estimate"]
+        for r in temporal.hll_estimate(
+            temporal.hll_partials(ev, "event_type", "cast(user_id as string)")
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        rel = abs(est[g] - n) / n
+        assert rel <= 4 * 1.04 / (temporal.HLL_M ** 0.5), (g, est[g], n, rel)
+
+
+def test_hll_partials_combine_map_side(spark):
+    """The partial plan must be a HashAggregate pair (partial + final):
+    the map-side combine IS the scalability — a hot group ships at most
+    m register rows per map task, never its raw keys."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = (
+        temporal.hll_partials(ev, "event_type", "cast(user_id as string)")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert "lambdafunction" not in plan, plan[:2000]
