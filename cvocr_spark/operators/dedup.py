@@ -40,6 +40,9 @@ resolution has >2-member components to collapse.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -387,15 +390,23 @@ def minhash_verified_dups_sql(corpus: str = "documents", threshold: float = 0.8)
 # --------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Distributed connected components over an undirected pair list.
     Returns (node, label) with label = min node id in the component.
     See ``_connected_components_rounds`` for the algorithm."""
-    return _connected_components_rounds(pairs, max_iter)[0]
+    return _connected_components_rounds(pairs, max_iter, checkpoint_dir)[0]
+
+
+# stats clamp cadence: inherited sizeInBytes digits double per round
+# (see the clamp comment in the loop), so every 4th round keeps the
+# estimate under ~100 digits for the life of the iteration
+_STATS_CLAMP_EVERY = 4
 
 
 def _connected_components_rounds(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
 ) -> tuple[DataFrame, int]:
     """Min-label propagation WITH POINTER DOUBLING — each round fuses
 
@@ -416,11 +427,19 @@ def _connected_components_rounds(
     (measured: 7 rounds for a depth-32 chain, 15 for a 2699-node
     near-path component), bounded by ``max_iter``.  Lineage is
     truncated every round (lazy localCheckpoint: the convergence agg is
-    the action that materializes it — one Spark job per round).
+    the action that materializes it — one Spark job per round), and
+    every ``_STATS_CLAMP_EVERY`` rounds the label frame round-trips
+    through parquet instead, which resets Catalyst's inherited
+    size estimates (see the in-loop comment) and doubles as a durable
+    resume point.  ``checkpoint_dir`` overrides the clamp location (on
+    a real cluster: a shared-FS path; default is a driver tempdir,
+    removed on return).
 
     Returns (labels, rounds_run) — the round count is asserted
     O(log depth) on an injected chain in tests/test_dedup.py.
     """
+    own_dir = checkpoint_dir is None
+    clamp_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cvocr_cc_")
     # both edge directions from ONE scan of the (possibly expensive)
     # upstream pair pipeline — a two-branch union would evaluate it twice
     edges = (
@@ -457,6 +476,11 @@ def _connected_components_rounds(
         # pipeline.  Because propagation then takes the min of
         # NEIGHBORS' shortcut labels (not raw labels), the contraction
         # is strictly stronger than shortcut-after-propagate.
+        # (Chaining MORE shortcut hops per round was A/B'd and
+        # REJECTED: on the sf0.1 pair graph rounds stayed at 15 for 1,
+        # 2, and 3 hops — convergence here is propagation-bound, not
+        # pointer-chase-bound — while each extra hop squares the
+        # inherited-stats blow-up described at the clamp below.)
         lut = labels.select(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")
         )
@@ -469,21 +493,47 @@ def _connected_components_rounds(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
-        labels = (
-            half.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-            )
+        labels = half.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        if rounds % _STATS_CLAMP_EVERY == 0:
+            # STATS CLAMP — Dataset.localCheckpoint truncates the
+            # logical plan but INHERITS the pre-checkpoint plan's
+            # Catalyst statistics into the new LogicalRDD, and the
+            # size-only visitor estimates a join as the PRODUCT of its
+            # children's sizeInBytes: with labels referenced twice per
+            # round (shortcut self-join) the inherited estimate
+            # squares every round.  Measured: digit count of
+            # sizeInBytes doubles per round (2.8k digits by round 15),
+            # and every stats consumer (broadcast-size checks, runtime
+            # -filter injection) then multiplies those BigIntegers on
+            # the DRIVER — at 3 shortcut hops this froze the driver in
+            # Toom-Cook multiplication of ~10M-digit integers by round
+            # 11.  A parquet round-trip is the one public-API reset:
+            # the re-read scan carries real file-size stats.  Every
+            # 4th round bounds the estimate at ~100 digits for free
+            # (A/B: wall-neutral at sf0.1), and the written frame
+            # doubles as a durable resume point for the iteration —
+            # on a cluster, point checkpoint_dir at the shared FS.
+            path = f"{clamp_dir}/round_{rounds}"
+            labels.write.mode("overwrite").parquet(path)
+            labels = labels.sparkSession.read.parquet(path)
+        else:
             # lazy checkpoint: the convergence agg below is the action
             # that materializes it — one Spark job per round, not two
-            .localCheckpoint(eager=False)
-        )
+            labels = labels.localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     edges.unpersist()
+    if own_dir:
+        # the final frame may still scan the clamp files — materialize
+        # it into the block manager before deleting the tempdir
+        if rounds >= _STATS_CLAMP_EVERY:
+            labels = labels.localCheckpoint()
+        shutil.rmtree(clamp_dir, ignore_errors=True)
     return labels, rounds
 
 

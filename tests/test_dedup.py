@@ -82,6 +82,29 @@ def test_connected_components_pointer_doubling_round_bound(spark):
     assert rounds <= bound, f"{rounds} rounds for depth {depth} (bound {bound})"
 
 
+def test_connected_components_stats_clamp_writes_resume_points(spark, tmp_path):
+    """An explicit checkpoint_dir keeps the every-4th-round parquet
+    clamp files in place (durable resume points for the iteration;
+    they also reset Catalyst's inherited size estimates, whose digit
+    count otherwise doubles per round — the driver-side BigInteger
+    blow-up measured in NOTES.md round 3)."""
+    import os
+
+    depth = 32
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(depth)], "a bigint, b bigint"
+    )
+    ckpt = str(tmp_path / "cc_resume")
+    labels_df, rounds = dedup._connected_components_rounds(
+        pairs, checkpoint_dir=ckpt
+    )
+    labels = {r["node"]: r["label"] for r in labels_df.collect()}
+    assert labels == {i: 0 for i in range(depth + 1)}
+    assert rounds >= dedup._STATS_CLAMP_EVERY
+    clamp_rounds = [d for d in os.listdir(ckpt) if d.startswith("round_")]
+    assert f"round_{dedup._STATS_CLAMP_EVERY}" in clamp_rounds
+
+
 def test_dedup_incremental_rerun_yields_zero_new_keepers(spark):
     """Re-probing a batch whose texts already live in the index must
     classify EVERY doc as dup_exact with the existing keeper — the
