@@ -40,6 +40,8 @@ resolution has >2-member components to collapse.
 
 from __future__ import annotations
 
+import os
+import re
 import shutil
 import tempfile
 
@@ -405,6 +407,24 @@ def connected_components(
 _STATS_CLAMP_EVERY = 4
 
 
+def _completed_clamp_rounds(path: str) -> list[int]:
+    """Round numbers with a complete ``round_<k>`` parquet frame
+    (``_SUCCESS`` marker present — a kill mid-write leaves none, so a
+    torn frame is never resumed from).  Driver-visible paths only
+    (local FS / NFS); an object-store checkpoint_dir would need the
+    Hadoop FS listing instead."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        m = re.fullmatch(r"round_(\d+)", n)
+        if m and os.path.exists(os.path.join(path, n, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return out
+
+
 def _connected_components_rounds(
     pairs: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
 ) -> tuple[DataFrame, int]:
@@ -433,10 +453,18 @@ def _connected_components_rounds(
     size estimates (see the in-loop comment) and doubles as a durable
     resume point.  ``checkpoint_dir`` overrides the clamp location (on
     a real cluster: a shared-FS path; default is a driver tempdir,
-    removed on return).
+    removed on return).  When ``checkpoint_dir`` holds ``round_<k>``
+    frames from a killed prior run over the SAME pair list, the
+    iteration RESUMES from the highest completed one instead of
+    round 0 — the same crash-recovery contract as the extraction
+    path's per-bucket manifests (tableio.py), applied to the one
+    multi-round iterative operator: a crawl-scale CC run that dies at
+    round 12 of 15 must not redo 12 full-edge joins.
 
     Returns (labels, rounds_run) — the round count is asserted
-    O(log depth) on an injected chain in tests/test_dedup.py.
+    O(log depth) on an injected chain in tests/test_dedup.py; resume
+    is asserted to converge from the restored round, with labels
+    identical to the from-scratch run.
     """
     own_dir = checkpoint_dir is None
     clamp_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cvocr_cc_")
@@ -461,13 +489,33 @@ def _connected_components_rounds(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
+    if not own_dir:
+        done = _completed_clamp_rounds(clamp_dir)
+        if done:
+            # resume: restore the newest completed round's labels onto
+            # the CURRENT node set (left join + coalesce keeps any node
+            # the restored frame lacks at its own id — correct only
+            # when the pair list is unchanged, which a deterministic
+            # upstream pipeline guarantees)
+            rounds = max(done)
+            restored = labels.sparkSession.read.parquet(
+                f"{clamp_dir}/round_{rounds}"
+            ).withColumnRenamed("label", "r_label")
+            labels = (
+                labels.select("node")
+                .join(restored, "node", "left")
+                .select(
+                    "node", F.coalesce("r_label", F.col("node")).alias("label")
+                )
+                .localCheckpoint()
+            )
     # convergence probe: labels only DECREASE under min propagation, so
     # the label sum strictly decreases every non-converged round and is
     # equal iff nothing changed — one cheap agg action per round instead
     # of a self-join diff
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    rounds = 0
-    for _ in range(max_iter):
+    for _ in range(rounds, max_iter):
         rounds += 1
         # shortcut FIRST against the (checkpointed) previous labels —
         # both sides of the self-join read materialized data, so `half`

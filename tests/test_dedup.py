@@ -104,6 +104,17 @@ def test_connected_components_stats_clamp_writes_resume_points(spark, tmp_path):
     clamp_rounds = [d for d in os.listdir(ckpt) if d.startswith("round_")]
     assert f"round_{dedup._STATS_CLAMP_EVERY}" in clamp_rounds
 
+    # resume: a second run over the same pairs + dir must restore the
+    # newest clamp frame instead of redoing the restored rounds — the
+    # total round count starts past the clamp round, and the labels
+    # are identical to the from-scratch run
+    labels_df2, rounds2 = dedup._connected_components_rounds(
+        pairs, checkpoint_dir=ckpt
+    )
+    labels2 = {r["node"]: r["label"] for r in labels_df2.collect()}
+    assert labels2 == labels
+    assert dedup._STATS_CLAMP_EVERY < rounds2 <= rounds + 1
+
 
 def test_dedup_incremental_rerun_yields_zero_new_keepers(spark):
     """Re-probing a batch whose texts already live in the index must
