@@ -707,19 +707,92 @@ def dedup_incremental(
 
     Returns (doc_id, status, matched_keeper) for every new doc.
     """
+    ex_hash = _exact_hash_table(existing)
+    eb = _safe_banded(_banded(existing), max_bucket)
+    return _incremental_decide(new_docs, existing, ex_hash, eb, threshold, max_bucket)
+
+
+def _exact_hash_table(existing: DataFrame) -> DataFrame:
+    """(h, matched_keeper): full-text (length, md5) key -> min doc_id."""
     h = F.concat_ws(":", F.length("text"), F.md5("text"))
-    ex_hash = (
+    return (
         existing.select(h.alias("h"), "doc_id")
         .groupBy("h")
         .agg(F.min("doc_id").alias("matched_keeper"))
     )
+
+
+def build_dedup_index(
+    existing: DataFrame, path: str, max_bucket: int = MAX_BUCKET
+) -> None:
+    """Materialize the incremental-dedup index ONCE per corpus
+    generation — the train/serve split for dedup (cf. the IVF index,
+    ivf.py: build writes centroids + lists, search only probes).  Two
+    parquet artifacts under ``path``:
+
+      exact_hash/  (h, matched_keeper)            — phase-1 probe table
+      bands/       (doc_id, band_id, band_val)    — the stored LSH
+                   index, hot-bucket-guarded, partitioned by band_id
+
+    Per-batch probing then skips the expensive corpus-side recompute
+    (md5 + k minhashes over every shingle of the WHOLE corpus per
+    batch — the part that grows with corpus size, not batch size).
+    Verify-phase text lookups still read the corpus table itself:
+    candidates are bounded by the LSH output, so that join is linear
+    in candidates either way and duplicating every text into the
+    index would double corpus storage for nothing."""
+    _exact_hash_table(existing).write.mode("overwrite").parquet(
+        f"{path}/exact_hash"
+    )
+    _safe_banded(_banded(existing), max_bucket).write.mode("overwrite").partitionBy(
+        "band_id"
+    ).parquet(f"{path}/bands")
+
+
+def dedup_incremental_indexed(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    index_path: str,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """``dedup_incremental`` probing the MATERIALIZED index written by
+    ``build_dedup_index`` instead of re-deriving the corpus-side hash
+    and band tables in-plan.  ``existing`` is still read for the
+    verify-phase text lookups (see build_dedup_index docstring).
+    Asserted equal to the in-plan variant on the contract fixture in
+    tests/test_dedup.py."""
+    spark = new_docs.sparkSession
+    # explicit schemas: an EMPTY index (fresh crawl's first batch) has
+    # no data files to infer from, and probing one must degrade to
+    # all-new_keeper, not fail
+    ex_hash = spark.read.schema("h string, matched_keeper bigint").parquet(
+        f"{index_path}/exact_hash"
+    )
+    eb = spark.read.schema("doc_id bigint, band_val string, band_id int").parquet(
+        f"{index_path}/bands"
+    )
+    return _incremental_decide(new_docs, existing, ex_hash, eb, threshold, max_bucket)
+
+
+def _incremental_decide(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    ex_hash: DataFrame,
+    eb: DataFrame,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Shared decision core: phase-1 exact anti-join against ``ex_hash``,
+    phase-2 LSH probe of the new batch's bands against ``eb`` +
+    exact-Jaccard verify, else new_keeper."""
+    h = F.concat_ws(":", F.length("text"), F.md5("text"))
     nh = new_docs.select("doc_id", "text", h.alias("h"))
     exact = nh.join(ex_hash, "h").select(
         "doc_id", F.lit("dup_exact").alias("status"), "matched_keeper"
     )
     rest = nh.join(ex_hash, "h", "left_anti").select("doc_id", "text")
     nb = _safe_banded(_banded(rest), max_bucket)
-    eb = _safe_banded(_banded(existing), max_bucket)
     cand = (
         nb.alias("n")
         .join(

@@ -150,6 +150,35 @@ def test_dedup_incremental_three_statuses(spark):
     assert rows[12]["status"] == "new_keeper" and rows[12]["matched_keeper"] is None
 
 
+def test_dedup_incremental_indexed_matches_inplan(spark, tmp_path):
+    """The materialized-index probe (build_dedup_index ->
+    dedup_incremental_indexed) must reach the same (status,
+    matched_keeper) decision as the in-plan variant on the contract
+    fixture, and its plan must read the stored band table instead of
+    re-deriving the corpus-side minhash pipeline (the train/serve
+    split, cf. ivf_ann_search)."""
+    SF = os.environ.get("CVOCR_TEST_SF_DIR", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    existing, new_batch = dedup.incremental_split(docs)
+    idx = str(tmp_path / "dedup_index")
+    dedup.build_dedup_index(existing, idx)
+
+    got = sorted(
+        map(tuple, dedup.dedup_incremental_indexed(new_batch, existing, idx).collect())
+    )
+    want = sorted(map(tuple, dedup.dedup_incremental(new_batch, existing).collect()))
+    assert got == want and len(got) > 0
+
+    # provenance: decisions must come from the STORED index, not an
+    # in-plan recompute of the corpus side — after emptying the index
+    # artifacts (existing untouched), every probe returns new_keeper
+    empty_idx = str(tmp_path / "empty_index")
+    dedup.build_dedup_index(existing.limit(0), empty_idx)
+    rows = dedup.dedup_incremental_indexed(new_batch, existing, empty_idx).collect()
+    assert len(rows) == len(got)
+    assert all(r["status"] == "new_keeper" for r in rows)
+
+
 def test_verify_pairs_jaccard_scores_candidates_only(spark):
     docs = _docs(
         spark,
