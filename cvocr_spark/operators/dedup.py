@@ -585,14 +585,20 @@ def _connected_components_rounds(
     return labels, rounds
 
 
-def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """pairs -> clusters -> one keeper per cluster, over the WHOLE
     corpus (docs not in any pair are their own singleton cluster).
     cluster_id = min doc_id in the component; is_keeper marks the one
     row per cluster a dedup pass keeps.  Graft of the reference's
     region grouping (ergroup.cpp:47-64,163-171) — there merging
-    overlapping boxes, here merging near-duplicate documents."""
-    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    overlapping boxes, here merging near-duplicate documents.
+    ``checkpoint_dir`` makes the label iteration resumable after a
+    kill (see _connected_components_rounds)."""
+    labels = connected_components(pairs, checkpoint_dir=checkpoint_dir).withColumnRenamed(
+        "node", "doc_id"
+    )
     return (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
@@ -627,13 +633,15 @@ def dedup_clusters_sql(corpus: str = "documents") -> str:
     """
 
 
-def dedup_clusters_verified(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def dedup_clusters_verified(
+    docs: DataFrame, threshold: float = 0.8, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The production default: cluster only VERIFIED pairs.  The 200k
     soak showed why — raw LSH candidates chain unrelated docs through
     false candidates; exact-Jaccard verification before CC bounds every
     merge by a measured similarity."""
     pairs = minhash_verified_dups(docs, threshold).select("a", "b")
-    return dedup_clusters(docs, pairs)
+    return dedup_clusters(docs, pairs, checkpoint_dir=checkpoint_dir)
 
 
 def dedup_clusters_verified_sql(corpus: str = "documents", threshold: float = 0.8) -> str:
