@@ -249,8 +249,11 @@ def hll_estimate(partials: DataFrame) -> DataFrame:
     """(grp, hll_estimate) from partial sketches, with the standard
     small-range linear-counting correction (absent registers are zero
     registers: rho >= 1 for every hit, so absent == never hit)."""
+    # per-term 2^-rho as an exact integer reciprocal (1 / (1 << rho)):
+    # bit-identical per term across engines, so the only cross-engine
+    # float surface is summation order — far below the 2-decimal round
     agg = partials.groupBy("grp").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+        F.sum(F.expr("1.0 / cast(shiftleft(1L, max_rho) as double)")).alias("s"),
         F.count("*").alias("n_present"),
     )
     zeros = F.lit(HLL_M) - F.col("n_present")
@@ -261,3 +264,45 @@ def hll_estimate(partials: DataFrame) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select("grp", F.round(est, 2).alias("hll_estimate"))
+
+
+def hll_partials_sql(table: str, group_col: str, key_expr: str) -> str:
+    """DuckDB restatement of ``hll_partials`` — same portable md5 hash,
+    same integer register/rho arithmetic (oracle-ready: swap into the
+    contract by pairing with ``hll_estimate_sql``)."""
+    mask = (1 << HLL_TAIL_BITS) - 1
+    h = P.hash60_duck(key_expr, "hll")
+    return f"""
+    SELECT {group_col} AS grp,
+           cast(h >> {HLL_TAIL_BITS} as integer) AS register,
+           max(CASE WHEN (h & {mask}) > 0
+                    THEN {HLL_TAIL_BITS + 1} - length(bin(h & {mask}))
+                    ELSE {HLL_TAIL_BITS + 1} END) AS max_rho
+    FROM (SELECT {group_col}, {h} AS h FROM {table})
+    GROUP BY {group_col}, register
+    """
+
+
+def hll_estimate_sql(partials_sql: str) -> str:
+    """DuckDB restatement of ``hll_estimate`` over a partials query."""
+    return f"""
+    WITH p AS ({partials_sql}),
+    agg AS (
+      SELECT grp,
+             sum(1.0 / cast(1::BIGINT << max_rho as double)) AS s,
+             count(*) AS n_present
+      FROM p GROUP BY grp
+    ),
+    est AS (
+      SELECT grp,
+             cast({HLL_M} - n_present as double) AS zeros,
+             cast({_HLL_ALPHA!r} as double) * {HLL_M} * {HLL_M}
+               / (s + ({HLL_M} - n_present)) AS raw
+      FROM agg
+    )
+    SELECT grp,
+           round(CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0
+                      THEN {HLL_M} * ln({HLL_M} / zeros)
+                      ELSE raw END, 2) AS hll_estimate
+    FROM est
+    """

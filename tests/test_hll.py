@@ -59,6 +59,33 @@ def test_hll_estimate_within_error_bound(spark):
         assert rel <= 4 * 1.04 / (temporal.HLL_M ** 0.5), (g, est[g], n, rel)
 
 
+def test_hll_cross_engine_oracle_ready(spark):
+    """The DuckDB SQL restatement (hll_partials_sql / hll_estimate_sql)
+    must match Spark register-for-register AND estimate-for-estimate —
+    the evidence that promoting HLL into the oracled contract is just a
+    slot swap."""
+    import duckdb
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+
+    psql = temporal.hll_partials_sql(
+        "events", "event_type", "cast(user_id as varchar)"
+    )
+    spark_p = temporal.hll_partials(ev, "event_type", "cast(user_id as string)")
+    assert _regs(spark_p) == {
+        (g, r): m for g, r, m in con.execute(psql).fetchall()
+    }
+
+    esql = temporal.hll_estimate_sql(psql)
+    spark_e = {
+        r["grp"]: r["hll_estimate"]
+        for r in temporal.hll_estimate(spark_p).collect()
+    }
+    assert spark_e == dict(con.execute(esql).fetchall())
+
+
 def test_hll_partials_combine_map_side(spark):
     """The partial plan must be a HashAggregate pair (partial + final):
     the map-side combine IS the scalability — a hot group ships at most
