@@ -115,6 +115,16 @@ def test_connected_components_stats_clamp_writes_resume_points(spark, tmp_path):
     assert labels2 == labels
     assert dedup._STATS_CLAMP_EVERY < rounds2 <= rounds + 1
 
+    # torn-write guard: a kill mid-clamp leaves a round dir WITHOUT the
+    # _SUCCESS marker — resume must ignore it (else it would restore a
+    # partial frame) and fall back to the newest COMPLETE round
+    torn = tmp_path / "cc_resume" / "round_8"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"torn")
+    assert dedup._completed_clamp_rounds(ckpt) == [dedup._STATS_CLAMP_EVERY]
+    labels_df3, _ = dedup._connected_components_rounds(pairs, checkpoint_dir=ckpt)
+    assert {r["node"]: r["label"] for r in labels_df3.collect()} == labels
+
 
 def test_dedup_incremental_rerun_yields_zero_new_keepers(spark):
     """Re-probing a batch whose texts already live in the index must
