@@ -24,8 +24,12 @@ def hash60_spark(s: str, salt: str | None = None) -> str:
 
 
 def hash60_duck(s: str, salt: str | None = None) -> str:
-    """DuckDB SQL: same 60-bit integer (hex literal cast)."""
-    inner = f"concat('{salt}:', {s})" if salt is not None else s
+    """DuckDB SQL: same 60-bit integer (hex literal cast).  The salt
+    prefix uses ``||`` (NULL-propagating) rather than ``concat``:
+    DuckDB's concat treats NULL as '' while Spark's returns NULL, so a
+    concat-salted hash would silently hash NULL keys as the empty
+    string and diverge from Spark (caught by the HLL null-key test)."""
+    inner = f"('{salt}:' || {s})" if salt is not None else s
     return f"cast('0x' || substr(md5({inner}), 1, 15) as bigint)"
 
 
@@ -54,11 +58,14 @@ def shingles_spark(words: str) -> str:
 
 
 def shingles_duck(words: str) -> str:
+    # coalesce in the else branch: NULL text -> NULL words -> Spark's
+    # concat_ws yields '' there while array_to_string yields NULL;
+    # both engines must agree on [''] (NULL text behaves like empty)
     return (
         f"case when length({words}) >= 3 then "
         f"list_transform(range(1, length({words}) - 1), "
         f"i -> concat({words}[i], ' ', {words}[i + 1], ' ', {words}[i + 2])) "
-        f"else [array_to_string({words}, ' ')] end"
+        f"else [coalesce(array_to_string({words}, ' '), '')] end"
     )
 
 

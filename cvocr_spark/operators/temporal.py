@@ -218,10 +218,13 @@ def hll_partials(df: DataFrame, group_col: str, key_expr: str) -> DataFrame:
     partial sketches per partition/day/table union by register-wise max
     (hll_merge), never by re-reading raw data."""
     mask = (1 << HLL_TAIL_BITS) - 1
+    # NULL keys hash to NULL and would register a phantom (grp, NULL)
+    # row, inflating n_present and biasing the zero-count correction —
+    # COUNT(DISTINCT) semantics ignore NULLs, so the sketch must too
     hashed = df.select(
         F.col(group_col).alias("grp"),
         F.expr(P.hash60_spark(key_expr, "hll")).alias("h"),
-    )
+    ).filter(F.col("h").isNotNull())
     return (
         hashed.select(
             "grp",
@@ -279,6 +282,7 @@ def hll_partials_sql(table: str, group_col: str, key_expr: str) -> str:
                     THEN {HLL_TAIL_BITS + 1} - length(bin(h & {mask}))
                     ELSE {HLL_TAIL_BITS + 1} END) AS max_rho
     FROM (SELECT {group_col}, {h} AS h FROM {table})
+    WHERE h IS NOT NULL
     GROUP BY {group_col}, register
     """
 

@@ -86,6 +86,37 @@ def test_hll_cross_engine_oracle_ready(spark):
     assert spark_e == dict(con.execute(esql).fetchall())
 
 
+def test_hll_null_keys_ignored(spark):
+    """COUNT(DISTINCT) ignores NULLs; so must the sketch — a NULL key
+    must not register (a group with ONLY null keys gets no partial
+    rows and hence no estimate row, not a phantom nonzero one)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("a", None), ("b", None), ("b", None)],
+        "grp string, user string",
+    )
+    p = temporal.hll_partials(df, "grp", "user")
+    regs = _regs(p)
+    assert all(g == "a" and r is not None for g, r in regs)
+    assert len(regs) == 2  # u1, u2
+    est = {r["grp"]: r["hll_estimate"] for r in temporal.hll_estimate(p).collect()}
+    assert set(est) == {"a"} and abs(est["a"] - 2) < 1
+
+    # oracle side agrees on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp VARCHAR, usr VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [("a", "u1"), ("a", "u2"), ("a", None), ("b", None), ("b", None)],
+    )
+    psql = temporal.hll_partials_sql("t", "grp", "usr")
+    assert {(g, r): m for g, r, m in con.execute(psql).fetchall()} == regs
+    assert dict(
+        con.execute(temporal.hll_estimate_sql(psql)).fetchall()
+    ) == est
+
+
 def test_hll_partials_combine_map_side(spark):
     """The partial plan must be a HashAggregate pair (partial + final):
     the map-side combine IS the scalability — a hot group ships at most

@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cvocr_spark.functions import portable as P  # noqa: E402
 
 ADVERSARIAL = [
+    None,  # concat-vs-|| NULL divergence trap (see hash60_duck docstring)
     "",
     " ",
     "   ",
