@@ -77,7 +77,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup by FULL-content hash: keep min doc_id per
     (length, md5) of the whole text.  Length is prepended to the key so
     even an md5 collision would additionally need equal lengths."""
-    h = F.concat_ws(":", F.length("text"), F.md5("text"))
+    h = F.concat(F.length("text").cast("string"), F.lit(":"), F.md5("text"))
     return docs.groupBy(h.alias("h")).agg(
         F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
     )
@@ -85,7 +85,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def exact_dedup_sql(corpus: str = "documents") -> str:
     return f"""
-    SELECT concat(cast(length(text) as varchar), ':', md5(text)) AS h,
+    SELECT (cast(length(text) as varchar) || ':' || md5(text)) AS h,
            min(doc_id) AS keeper, count(*) AS n_copies
     FROM ({corpus}) GROUP BY 1
     """
@@ -722,7 +722,7 @@ def dedup_incremental(
 
 def _exact_hash_table(existing: DataFrame) -> DataFrame:
     """(h, matched_keeper): full-text (length, md5) key -> min doc_id."""
-    h = F.concat_ws(":", F.length("text"), F.md5("text"))
+    h = F.concat(F.length("text").cast("string"), F.lit(":"), F.md5("text"))
     return (
         existing.select(h.alias("h"), "doc_id")
         .groupBy("h")
@@ -794,7 +794,7 @@ def _incremental_decide(
     """Shared decision core: phase-1 exact anti-join against ``ex_hash``,
     phase-2 LSH probe of the new batch's bands against ``eb`` +
     exact-Jaccard verify, else new_keeper."""
-    h = F.concat_ws(":", F.length("text"), F.md5("text"))
+    h = F.concat(F.length("text").cast("string"), F.lit(":"), F.md5("text"))
     nh = new_docs.select("doc_id", "text", h.alias("h"))
     exact = nh.join(ex_hash, "h").select(
         "doc_id", F.lit("dup_exact").alias("status"), "matched_keeper"
@@ -892,13 +892,13 @@ def dedup_incremental_sql(
     WITH existing AS ({existing}),
     newb AS ({new_batch}),
     ex_hash AS (
-      SELECT concat(cast(length(text) as varchar), ':', md5(text)) AS h,
+      SELECT (cast(length(text) as varchar) || ':' || md5(text)) AS h,
              min(doc_id) AS matched_keeper
       FROM existing GROUP BY 1
     ),
     nh AS (
       SELECT doc_id, text,
-             concat(cast(length(text) as varchar), ':', md5(text)) AS h
+             (cast(length(text) as varchar) || ':' || md5(text)) AS h
       FROM newb
     ),
     exact AS (

@@ -91,7 +91,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
     stop_ratio = n_stop / n_tokens
     mean_wlen = (F.length("text") - n_tokens + 1) / n_tokens
     vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
-    vowel_ratio = vowels / F.length("text").cast("double")
+    # nullif: empty text has length 0 — under ANSI mode (Spark 4
+    # default) the bare division THROWS and one empty doc kills the
+    # whole stage at crawl scale (DuckDB silently yields inf — a
+    # cross-engine divergence besides).  NULL ratio falls through the
+    # guess cascade to 'other' on both engines.
+    vowel_ratio = vowels / F.nullif(F.length("text").cast("double"), F.lit(0.0))
     guess = (
         F.when(stop_ratio > 0.12, F.lit("en"))
         .when(mean_wlen > 4.6, F.lit("de"))
@@ -119,10 +124,10 @@ WITH x AS (
 SELECT doc_id,
        round(n_stop / n_tokens, 4) AS stop_ratio,
        round((length(text) - n_tokens + 1) / n_tokens, 4) AS mean_wlen,
-       round(vowels / length(text), 4) AS vowel_ratio,
+       round(vowels / nullif(length(text), 0), 4) AS vowel_ratio,
        CASE WHEN n_stop / n_tokens > 0.12 THEN 'en'
             WHEN (length(text) - n_tokens + 1) / n_tokens > 4.6 THEN 'de'
-            WHEN vowels / length(text) > 0.28 THEN 'es'
+            WHEN vowels / nullif(length(text), 0) > 0.28 THEN 'es'
             ELSE 'other' END AS guess
 FROM x
 """

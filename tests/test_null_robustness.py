@@ -1,0 +1,86 @@
+"""NULL / empty / degenerate text through the corpus operators, checked
+CROSS-ENGINE against each operator's own contract oracle SQL — real
+crawls contain null and empty bodies, the synthetic corpus doesn't, and
+round 3 found two engine-level NULL divergences in the portable
+builders (NOTES.md parity traps 6-7), so this surface stays pinned."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvocr_spark.operators import dedup, textstats  # noqa: E402
+
+NASTY = [
+    (1, None),
+    (2, ""),
+    (3, " "),
+    (4, "   \t\n  "),
+    (5, "one"),
+    (6, "one two"),
+    (7, "a normal looking document with several plain words in it"),
+    (8, "repeat repeat repeat repeat repeat repeat repeat repeat"),
+    (9, "!!! ??? ... ,,, ;;; :::"),
+    (10, "x" * 5000),  # one enormous unbroken token
+    (11, ("word " * 1500).strip()),  # long but normal
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    docs = spark.createDataFrame(NASTY, "doc_id bigint, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", NASTY)
+    return docs, con
+
+
+def _cmp(sdf, con, sql):
+    got = sorted(
+        tuple(str(v) for _, v in sorted(r.asDict().items())) for r in sdf.collect()
+    )
+    want = sorted(
+        tuple(str(v) for _, v in sorted(d.items()))
+        for d in con.execute(sql).fetch_arrow_table().to_pylist()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_token_stats_nulls(engines):
+    docs, con = engines
+    _cmp(textstats.token_stats(docs), con, textstats.TOKEN_STATS_SQL)
+
+
+def test_quality_score_nulls(engines):
+    docs, con = engines
+    _cmp(textstats.quality_score(docs), con, textstats.QUALITY_SCORE_SQL)
+
+
+def test_lang_id_nulls(engines):
+    docs, con = engines
+    _cmp(textstats.lang_id(docs), con, textstats.LANG_ID_SQL)
+
+
+def test_doc_fingerprint_nulls(engines):
+    docs, con = engines
+    _cmp(textstats.doc_fingerprint(docs), con, textstats.doc_fingerprint_sql())
+
+
+def test_repetition_stats_nulls(engines):
+    docs, con = engines
+    _cmp(textstats.repetition_stats(docs), con, textstats.repetition_stats_sql())
+
+
+def test_corpus_filter_nulls(engines):
+    docs, con = engines
+    _cmp(textstats.corpus_filter(docs), con, textstats.corpus_filter_sql())
+
+
+def test_dedup_exact_nulls(engines):
+    docs, con = engines
+    _cmp(dedup.exact_dedup(docs), con, dedup.exact_dedup_sql("SELECT * FROM documents"))
