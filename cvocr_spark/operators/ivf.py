@@ -62,7 +62,11 @@ DIM = 64
 
 def _quantized_exploded(emb: DataFrame) -> DataFrame:
     """(vec_id, d, v): 0-based dimension index + milli-unit quantized
-    value.  Per-scalar round() — no higher-order function anywhere."""
+    value.  Per-scalar round() — no higher-order function anywhere.
+    Ragged/NULL embeddings are dropped (same well-formed guard as
+    similarity.with_bucket): a short vector would silently sum fewer
+    distance terms and assign to a bogus list."""
+    emb = emb.filter(F.size("embedding") == DIM)
     return emb.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
         "vec_id",
         "d",

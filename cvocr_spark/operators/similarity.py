@@ -227,7 +227,12 @@ def with_bucket(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
         ).alias(f"_vq{d}")
         for d in range(DIM)
     ]
-    staged = df.select("*", *vq)
+    # well-formed guard: under ANSI (Spark 4 default) element_at past
+    # the array length THROWS, so ONE ragged or NULL embedding in a
+    # crawl-scale table kills the whole stage.  Malformed vectors
+    # cannot be bucketed meaningfully — drop them here (the corpus
+    # filter is where a production pipeline counts them).
+    staged = df.filter(F.size("embedding") == DIM).select("*", *vq)
     planes = _planes_int(n_planes)
     dots = []
     for p, row in enumerate(planes):

@@ -84,3 +84,33 @@ def test_corpus_filter_nulls(engines):
 def test_dedup_exact_nulls(engines):
     docs, con = engines
     _cmp(dedup.exact_dedup(docs), con, dedup.exact_dedup_sql("SELECT * FROM documents"))
+
+
+def test_ann_operators_survive_degenerate_vectors(spark):
+    """One ragged or NULL embedding must not kill a crawl-scale ANN
+    stage: under ANSI (Spark 4 default) element_at past the array end
+    THROWS — with_bucket and the IVF quantizer now drop non-well-formed
+    vectors instead (caught as a real crash by this probe in r3)."""
+    from cvocr_spark.operators import ivf, similarity
+
+    DIM = similarity.DIM
+    rows = [
+        (1, [0.1] * DIM),
+        (2, [0.2] * DIM),
+        (3, [0.0] * DIM),  # zero vector: norm 0
+        (4, None),  # NULL embedding
+        (5, [0.1] * 10),  # ragged
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    pairs = similarity.cosine_neardup_pairs(emb).collect()
+    assert {v for r in pairs for v in (r["a"], r["b"])} <= {1, 2, 3}
+    topk = similarity.lsh_ann_topk(emb, n_queries=2, k=2).collect()
+    assert len(topk) > 0
+    clusters = similarity.embedding_dedup_clusters(emb).collect()
+    assert len(clusters) == len(rows)  # malformed rows stay singletons
+
+    centroids = ivf._train(emb, k=2, iters=1)
+    assert len(centroids) == 2
+    assigned = ivf.assign_with_dists(emb, centroids).collect()
+    assert {r["vec_id"] for r in assigned} == {1, 2, 3}
