@@ -164,9 +164,12 @@ def kmv_distinct_sketch(events: DataFrame) -> DataFrame:
         )
         .withColumn(
             "rel_err",
+            # nullif: a group whose keys are all NULL has exact 0 —
+            # under ANSI the bare division throws and one such group
+            # kills the stage (probe in tests/test_null_robustness.py)
             F.round(
                 F.abs(F.col("kmv_estimate") - F.col("exact_users"))
-                / F.col("exact_users"),
+                / F.nullif(F.col("exact_users"), F.lit(0)),
                 4,
             ),
         )
@@ -194,7 +197,7 @@ def kmv_distinct_sketch_sql() -> str:
            round(abs(coalesce(round(({KMV_K} - 1) * cast({float(2**60)!r} as double)
                                     / cast(kth as double), 2),
                               cast(exact_users as double)) - exact_users)
-                 / exact_users, 4) AS rel_err
+                 / nullif(exact_users, 0), 4) AS rel_err
     FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type
     """
 

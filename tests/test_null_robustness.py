@@ -86,6 +86,65 @@ def test_dedup_exact_nulls(engines):
     _cmp(dedup.exact_dedup(docs), con, dedup.exact_dedup_sql("SELECT * FROM documents"))
 
 
+NASTY_EVENTS = [
+    (1, "2024-01-01 12:00:00", 10, "view", 1.0, "{}"),
+    (2, None, 10, "view", 2.0, "{}"),  # NULL ts
+    (3, "2024-01-01 12:00:00", None, "click", 3.0, "{}"),  # all-NULL users in grp
+    (4, "2024-01-01 12:00:00", 11, None, None, None),  # NULL type/value/props
+    (None, "2024-01-01 12:00:00", 11, "view", 5.0, "{}"),  # NULL event_id
+]
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def test_events_operators_survive_nulls(spark):
+    """NULL ids / timestamps / types / values through every events-table
+    operator — none may throw (ANSI division and comparison semantics
+    make several of these latent stage-killers; kmv_distinct_sketch's
+    rel_err did throw on an all-NULL-user group before the nullif)."""
+    import datetime
+
+    from cvocr_spark.operators import asof, temporal, windows
+
+    rows = [
+        (e, datetime.datetime.fromisoformat(t) if t else None, u, y, v, p)
+        for e, t, u, y, v, p in NASTY_EVENTS
+    ]
+    ev = spark.createDataFrame(rows, EVENTS_DDL)
+    for fn in (
+        windows.sessionize,
+        windows.gaps_islands,
+        windows.neighbor_relabel,
+        windows.tumbling_window_agg,
+        temporal.range_join_events,
+        temporal.rollup_cascade,
+        temporal.kmv_distinct_sketch,
+        asof.asof_join_marks,
+    ):
+        fn(ev).collect()  # must not raise
+
+    # the fixed case, cross-engine: all-NULL-user group -> exact 0,
+    # rel_err NULL on BOTH engines
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE events ({EVENTS_DDL.replace(' string', ' varchar')})")
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", NASTY_EVENTS)
+    got = sorted(
+        tuple(str(v) for _, v in sorted(r.asDict().items()))
+        for r in temporal.kmv_distinct_sketch(ev).collect()
+    )
+    want = sorted(
+        tuple(str(v) for _, v in sorted(d.items()))
+        for d in con.execute(temporal.kmv_distinct_sketch_sql())
+        .fetch_arrow_table()
+        .to_pylist()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_ann_operators_survive_degenerate_vectors(spark):
     """One ragged or NULL embedding must not kill a crawl-scale ANN
     stage: under ANSI (Spark 4 default) element_at past the array end
