@@ -49,7 +49,7 @@ def media_metadata(docs: DataFrame) -> DataFrame:
 
     def _run(batches):
         for pdf in batches:
-            blobs = pdf["text"].map(lambda t: t.encode("utf-8"))
+            blobs = pdf["text"].map(lambda t: (t or "").encode("utf-8"))
             metas = blobs.map(decode_stub)
             yield pd.DataFrame(
                 {
@@ -66,10 +66,10 @@ def media_metadata(docs: DataFrame) -> DataFrame:
 
 MEDIA_METADATA_SQL = """
 SELECT doc_id,
-       cast(octet_length(encode(text)) as int) AS n_bytes,
-       cast(octet_length(encode(text)) % 640 + 1 as int) AS fake_width,
-       cast(octet_length(encode(text)) % 480 + 1 as int) AS fake_height,
-       md5(text) AS content_md5
+       cast(octet_length(encode(coalesce(text, ''))) as int) AS n_bytes,
+       cast(octet_length(encode(coalesce(text, ''))) % 640 + 1 as int) AS fake_width,
+       cast(octet_length(encode(coalesce(text, ''))) % 480 + 1 as int) AS fake_height,
+       md5(coalesce(text, '')) AS content_md5
 FROM documents
 """
 
@@ -96,7 +96,7 @@ def resize_images(docs: DataFrame, max_side: int = 128) -> DataFrame:
 
     def _run(batches):
         for pdf in batches:
-            blobs = pdf["text"].map(lambda t: t.encode("utf-8"))
+            blobs = pdf["text"].map(lambda t: (t or "").encode("utf-8"))
             dims = blobs.map(lambda b: resize_stub(b, max_side))
             yield pd.DataFrame(
                 {
@@ -122,7 +122,7 @@ def frame_sample(docs: DataFrame, every_n: int = 3, max_frames: int = 4) -> Data
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                blob = t.encode("utf-8")
+                blob = (t or "").encode("utf-8")
                 for i in range(max_frames):
                     off = i * every_n * 32
                     if off >= len(blob):
@@ -191,9 +191,9 @@ def media_pipeline_sql(max_side: int = 128, every_n: int = 3, max_frames: int = 
     WITH frames AS ({frames}),
     meta AS (
       SELECT doc_id,
-             octet_length(encode(text)) % 640 + 1 AS w,
-             octet_length(encode(text)) % 480 + 1 AS h,
-             substring(text, 1, 64) AS thumb
+             octet_length(encode(coalesce(text, ''))) % 640 + 1 AS w,
+             octet_length(encode(coalesce(text, ''))) % 480 + 1 AS h,
+             substring(coalesce(text, ''), 1, 64) AS thumb
       FROM documents
     ),
     resized AS (
@@ -221,8 +221,8 @@ def frame_sample_sql(every_n: int = 3, max_frames: int = 4) -> str:
       FROM documents
     )
     SELECT doc_id, cast(frame_idx as int) AS frame_idx,
-           md5(substring(text, cast(frame_idx * {every_n} * 32 + 1 as int), 32)) AS frame_md5,
-           cast(octet_length(encode(substring(text, cast(frame_idx * {every_n} * 32 + 1 as int), 32))) as int) AS frame_bytes
+           md5(substring(coalesce(text, ''), cast(frame_idx * {every_n} * 32 + 1 as int), 32)) AS frame_md5,
+           cast(octet_length(encode(substring(coalesce(text, ''), cast(frame_idx * {every_n} * 32 + 1 as int), 32))) as int) AS frame_bytes
     FROM f
-    WHERE frame_idx * {every_n} * 32 < octet_length(encode(text))
+    WHERE frame_idx * {every_n} * 32 < octet_length(encode(coalesce(text, '')))
     """

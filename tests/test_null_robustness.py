@@ -145,6 +145,28 @@ def test_events_operators_survive_nulls(spark):
     assert got == want and len(got) > 0
 
 
+def test_multimodal_null_text_as_empty_payload(spark):
+    """NULL text through the multimodal blob path killed the Python
+    worker (None.encode) — now treated as an empty payload on both
+    engines, consistent with the NULL-text-behaves-like-empty rule."""
+    import duckdb
+
+    from cvocr_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world")], "doc_id bigint, text string"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(1, None), (2, ""), (3, "hello world")]
+    )
+    _cmp(multimodal.media_metadata(docs), con, multimodal.MEDIA_METADATA_SQL)
+    rows = multimodal.resize_images(docs).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    assert all(r["thumb"] == bytearray(b"") for r in rows if r["doc_id"] in (1, 2))
+
+
 def test_ann_operators_survive_degenerate_vectors(spark):
     """One ragged or NULL embedding must not kill a crawl-scale ANN
     stage: under ANSI (Spark 4 default) element_at past the array end
