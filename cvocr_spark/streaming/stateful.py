@@ -79,7 +79,11 @@ def dedup_urls_stream(
     on its own.  The TTL is for the always-on ingest deployment; pass
     ``state_ttl_ms=None`` for bounded backfill runs that must
     self-terminate (NoTimeout, state lives only for the run)."""
-    sharded = pages_stream.withColumn(
+    # NULL url is not a valid page; drop it natively.  It would NOT
+    # drop out on its own: xxhash64(NULL) returns the seed (not NULL),
+    # so the row reaches a shard and sorted(seen) with a None among
+    # strings TypeErrors, crashing that shard's state update.
+    sharded = pages_stream.filter(F.col("url").isNotNull()).withColumn(
         "shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
     )
     timeout = (

@@ -30,6 +30,12 @@ def test_stateful_dedup_across_microbatches(spark):
         # drop 1: first 300 urls; drop 2: ALL urls (300 dups + 200 new)
         pages.limit(300).write.mode("overwrite").parquet(in_dir)
         pages.write.mode("append").parquet(in_dir)
+        # + a NULL-url row: must be dropped natively, not crash a shard
+        # (xxhash64(NULL) = seed, so it WOULD reach the state fn and
+        # TypeError in sorted(seen) without the operator's filter)
+        spark.createDataFrame(
+            [(None, None, None)], "url string, warc_ts timestamp, html binary"
+        ).write.mode("append").parquet(in_dir)
 
         stream = spark.readStream.schema(
             "url string, warc_ts timestamp, html binary"
