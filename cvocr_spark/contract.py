@@ -409,9 +409,28 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         # pruning.  Distinct params from ivf_ann_topk so this is an
         # independent check of the round-trip through parquet.
         import hashlib
+        import os
 
-        key = f"{d}:k{ivf.IVF_K}:i{ivf.IVF_ITERS}"  # index = f(input, params)
-        path = f"/tmp/cvocr_ivf_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+        # index = f(input CONTENT, params): fingerprint the embeddings
+        # files (path, size, mtime) so regenerated fixture data at the
+        # same path rebuilds instead of serving a stale index, and key
+        # on the pid so two concurrent drivers never race build-vs-probe
+        # on one /tmp path (ADVICE r3).  Within one process (bench
+        # warm+timed passes) the index is still built exactly once.
+        src = os.path.join(d, "embeddings.parquet")
+        parts = [f"k{ivf.IVF_K}", f"i{ivf.IVF_ITERS}"]
+        for root, _, files in sorted(os.walk(src)) or [(src, None, [])]:
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                parts.append(f"{os.path.join(root, fn)}:{st.st_size}:{st.st_mtime_ns}")
+        if os.path.isfile(src):
+            st = os.stat(src)
+            parts.append(f"{src}:{st.st_size}:{st.st_mtime_ns}")
+        key = "|".join(parts)
+        path = (
+            f"/tmp/cvocr_ivf_{os.getpid()}_"
+            f"{hashlib.md5(key.encode()).hexdigest()[:10]}"
+        )
         return ivf.ivf_build_and_search(
             s, _t(s, d, "embeddings"), path, n_probe=4, n_queries=8
         )

@@ -513,8 +513,12 @@ def _connected_components_rounds(
     # convergence probe: labels only DECREASE under min propagation, so
     # the label sum strictly decreases every non-converged round and is
     # equal iff nothing changed — one cheap agg action per round instead
-    # of a self-join diff
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # of a self-join diff.  Summed as decimal(38,0): one int64 label per
+    # node can reach ~2^60 for hash-derived ids, so at crawl-scale node
+    # counts the int64 sum overflows and ANSI mode throws mid-iteration;
+    # decimal(38,0) holds 10^12 nodes x 2^63 with room to spare.
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(rounds, max_iter):
         rounds += 1
         # shortcut FIRST against the (checkpointed) previous labels —
@@ -571,7 +575,7 @@ def _connected_components_rounds(
             # lazy checkpoint: the convergence agg below is the action
             # that materializes it — one Spark job per round, not two
             labels = labels.localCheckpoint(eager=False)
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = labels.agg(_label_sum).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -905,7 +909,12 @@ def dedup_incremental_sql(
       SELECT nh.doc_id, 'dup_exact' AS status, e.matched_keeper
       FROM nh JOIN ex_hash e USING (h)
     ),
-    rest AS (SELECT doc_id, text FROM nh WHERE h NOT IN (SELECT h FROM ex_hash)),
+    -- NOT EXISTS, not NOT IN: with a NULL-text doc h is NULL, and NOT
+    -- IN's three-valued logic silently drops the row (or empties rest
+    -- entirely if ex_hash holds a NULL h) while the Spark side's
+    -- left_anti keeps NULL-hash rows as new_keeper (ADVICE r3)
+    rest AS (SELECT doc_id, text FROM nh
+             WHERE NOT EXISTS (SELECT 1 FROM ex_hash e WHERE e.h = nh.h)),
     rest_paired AS (SELECT doc_id, {P.minhash_pairs_duck(shingles)} AS mhp FROM rest),
     rest_sigs AS (SELECT doc_id, {mh_select} FROM rest_paired),
     ex_paired AS (SELECT doc_id, {P.minhash_pairs_duck(shingles)} AS mhp FROM existing),
@@ -941,7 +950,7 @@ def dedup_incremental_sql(
     ),
     newk AS (
       SELECT doc_id, 'new_keeper' AS status, cast(NULL as bigint) AS matched_keeper
-      FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM near)
+      FROM rest r WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = r.doc_id)
     )
     SELECT doc_id, status, matched_keeper FROM exact
     UNION ALL SELECT doc_id, status, matched_keeper FROM near

@@ -229,6 +229,11 @@ def build_ivf_index(
                           quantizer needs retraining or splitting)
     """
     spark = emb.sparkSession
+    # clear the terminal marker FIRST: a rebuild killed between the
+    # three artifact writes must read as not-built, never as the stale
+    # previous build (the torn-write window ADVICE r3 flagged)
+    fs, marker = _built_marker(spark, path)
+    fs.delete(marker, False)
     centroids = _train(emb, k, iters)
     spark.createDataFrame(
         [(j, c) for j, c in enumerate(centroids)], "cid int, cm array<bigint>"
@@ -241,6 +246,17 @@ def build_ivf_index(
     lists.groupBy("cid").agg(F.count("*").alias("n_vectors")).coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/stats")
+    # terminal marker: written only after ALL three artifacts landed
+    fs.create(marker, True).close()
+
+
+def _built_marker(spark: SparkSession, path: str):
+    """(FileSystem, Path) for the index's terminal _BUILT marker —
+    Hadoop FS API so the probe works on any cluster filesystem, not
+    just the local one."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_BUILT")
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
 def ivf_search_index(
@@ -310,13 +326,12 @@ def ivf_build_and_search(
     input + params — callers embed both in the path): train-once,
     serve-many is the operator's whole point, and repeated calls (bench
     warm+timed passes, re-run drivers) measure SERVING, with the build
-    cost paid exactly once."""
-    try:
-        spark.read.parquet(f"{path}/centroids").head(1)
-        built = True
-    except Exception:
-        built = False
-    if not built:
+    cost paid exactly once.  Built-ness is decided by the terminal
+    _BUILT marker written AFTER all three artifacts (ADVICE r3: probing
+    centroids — the FIRST write — made a build killed mid-lists look
+    complete forever)."""
+    fs, marker = _built_marker(spark, path)
+    if not fs.exists(marker):
         build_ivf_index(emb, path, k, iters)
     return ivf_search_index(spark, path, n_probe, n_queries, topk)
 

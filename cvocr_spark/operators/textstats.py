@@ -135,12 +135,19 @@ FROM x
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: min-hash over rolling 3-word shingles
-    (a 1-permutation minhash == rolling-hash fingerprint)."""
+    (a 1-permutation minhash == rolling-hash fingerprint).
+
+    Plan: explode -> md5 -> min aggregate — the same flat codegen'd
+    shape as the minhash signature pipeline (dedup.py); the earlier
+    ``array_min(transform(...))`` form ran the per-shingle md5 in the
+    INTERPRETED higher-order-function evaluator on every document
+    (tests/test_plans.py pins the lambda-free plan)."""
     words = P.words_spark("text")
     sh = P.shingles_spark(words)
-    return docs.select(
-        "doc_id",
-        F.expr(f"array_min(transform({sh}, s -> md5(s)))").alias("fingerprint"),
+    return (
+        docs.select("doc_id", F.explode(F.expr(sh)).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("s")).alias("fingerprint"))
     )
 
 

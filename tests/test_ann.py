@@ -155,3 +155,32 @@ def test_lsh_ann_recall_characterized(spark):
     # both must at least find the query itself (sim 1.0)
     for q in exact:
         assert any(n == q for _s, n in multi[q])
+
+def test_ivf_torn_build_rebuilds(spark, tmp_path):
+    """A build killed between the artifact writes must NOT be served:
+    built-ness is the terminal _BUILT marker written after all three
+    artifacts, so valid centroids + torn lists reads as not-built and
+    the next call rebuilds (ADVICE r3: the centroids-probe version
+    served a partial index forever)."""
+    import shutil
+
+    from cvocr_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    first = ivf.ivf_build_and_search(spark, emb, path, n_queries=3).collect()
+    assert first
+
+    # simulate the torn write: centroids intact, lists/stats/marker gone
+    shutil.rmtree(f"{path}/lists")
+    shutil.rmtree(f"{path}/stats")
+    os.remove(f"{path}/_BUILT")
+    again = ivf.ivf_build_and_search(spark, emb, path, n_queries=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+    # and a marker-less but centroids-complete dir (the exact ADVICE
+    # case) also rebuilds rather than serving the partial index
+    os.remove(f"{path}/_BUILT")
+    shutil.rmtree(f"{path}/lists")
+    rebuilt = ivf.ivf_build_and_search(spark, emb, path, n_queries=3).collect()
+    assert sorted(map(tuple, rebuilt)) == sorted(map(tuple, first))

@@ -86,6 +86,35 @@ def test_dedup_exact_nulls(engines):
     _cmp(dedup.exact_dedup(docs), con, dedup.exact_dedup_sql("SELECT * FROM documents"))
 
 
+def test_dedup_incremental_nulls(spark, engines):
+    """NULL/empty/degenerate texts through BOTH sides of incremental
+    dedup, cross-engine: the oracle's old `h NOT IN (SELECT h ...)`
+    silently dropped NULL-hash rows under three-valued logic while the
+    Spark left_anti kept them as new_keeper (ADVICE r3) — now NOT
+    EXISTS on the oracle side, pinned here with a NULL-text doc in the
+    new batch AND a NULL-text doc in the existing corpus."""
+    _, con = engines
+    existing = spark.createDataFrame(NASTY, "doc_id bigint, text string")
+    batch_rows = [
+        (101, None),  # NULL text, NULL hash — the NOT IN trap
+        (102, ""),  # exact dup of existing id 2
+        (107, "a normal looking document with several plain words in it extra"),
+        (113, "a brand new document nothing like the others at all here"),
+    ]
+    newb = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    con.execute("CREATE OR REPLACE TABLE newb_t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO newb_t VALUES (?, ?)", batch_rows)
+    sdf = dedup.dedup_incremental(newb, existing)
+    _cmp(
+        sdf,
+        con,
+        dedup.dedup_incremental_sql("SELECT * FROM documents", "SELECT * FROM newb_t"),
+    )
+    rows = {r["doc_id"]: r["status"] for r in sdf.collect()}
+    assert len(rows) == len(batch_rows)  # the NULL-text doc was not dropped
+    assert rows[102] == "dup_exact"
+
+
 NASTY_EVENTS = [
     (1, "2024-01-01 12:00:00", 10, "view", 1.0, "{}"),
     (2, None, 10, "view", 2.0, "{}"),  # NULL ts

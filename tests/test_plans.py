@@ -108,6 +108,26 @@ def test_minhash_signatures_are_flat_aggregates(spark):
         assert "array_min" not in plan, "HOF minhash crept back in:\n" + plan[:2000]
 
 
+def test_doc_fingerprint_is_flat_aggregate(spark):
+    """doc_fingerprint's per-shingle md5 must run in the codegen'd
+    explode -> MIN aggregate, not inside an interpreted
+    array_min(transform(...)) fold (VERDICT r3 'What's wrong' #5).
+    The cheap shingle-ARRAY builder (one transform over word indexes,
+    shared with the minhash pipeline) is allowed; hashing is not."""
+    from cvocr_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textstats.doc_fingerprint(docs))
+    # min(string) uses SortAggregate (no fixed-size hash buffer for
+    # strings); the scale property is the MAP-SIDE PARTIAL min of md5
+    assert "partial_min(md5" in plan, plan[:3000]
+    assert "array_min" not in plan, "HOF fingerprint crept back in:\n" + plan[:2000]
+    # md5 must not be evaluated inside any lambda body
+    import re as _re
+
+    assert not _re.search(r"lambdafunction\([^)]*md5", plan), plan[:3000]
+
+
 def test_ivf_assignment_is_flat_aggregates(spark):
     """IVF centroid assignment must be the explode -> flat-SUM codegen
     plan: no higher-order function (lambda) anywhere — the old
