@@ -230,6 +230,50 @@ def cosine_duck(a: str, b: str) -> str:
     return f"({dot_duck(a, b)} / nullif({norm_duck(a)} * {norm_duck(b)}, 0.0))"
 
 
+# -- integer-quantized cosine (order-independent exact scoring) --------------
+# Quantize every element to milli-units (the IVF quantizer, ivf.py:63-73),
+# keep dot products and squared norms in EXACT int64 arithmetic, and only
+# then divide in float: sqrt/multiply/divide are single correctly-rounded
+# IEEE ops on identical integers, so ANY summation order — a numpy int64
+# matmul, a SQL aggregate, a tree reduction — yields bit-identical doubles.
+# This is what makes the vectorized ANN path hash-checkable cross-engine
+# (the plain-float cosine fold above is order-DEPENDENT, hence sequential).
+
+QUANT = 1000
+
+
+def quantize_spark(a: str) -> str:
+    return f"transform({a}, x -> cast(round(cast(x as double) * {QUANT}) as bigint))"
+
+
+def quantize_duck(a: str) -> str:
+    return (
+        f"list_transform({a}, x -> cast(round(cast(x as double) * {QUANT}) as bigint))"
+    )
+
+
+def int_sqnorm_duck(a: str) -> str:
+    # list_sum(BIGINT list) is HUGEINT in DuckDB — cast back (parity trap 5)
+    return f"cast(list_sum(list_transform({a}, x -> x * x)) as bigint)"
+
+
+def int_dot_duck(a: str, b: str) -> str:
+    return (
+        f"cast(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i])) as bigint)"
+    )
+
+
+def qcosine_expr(dot: str, na: str, nb: str) -> str:
+    """sim from exact integer columns — same text works in BOTH dialects
+    (nullif keeps zero vectors NULL, not a divide error / NaN)."""
+    return (
+        f"(cast({dot} as double) / "
+        f"nullif(sqrt(cast({na} as double)) * sqrt(cast({nb} as double)), "
+        f"cast(0 as double)))"
+    )
+
+
 # -- seeded LSH hyperplanes (similarity-search scale path) -------------------
 # Plane coefficients derive from md5 in PYTHON once (hashlib == SQL md5),
 # then are embedded as exact float literals in both dialects.

@@ -10,9 +10,19 @@ matrix and lets each partition score its corpus slice as ONE
 local top-k keeps the shuffle tiny: only n_queries*k rows per partition
 reach the final global top-k window.
 
-Float summation order differs from the sequential fold, so this entry
-is verified by a RECALL test against the exact baseline (top-k sets
-match) rather than a value-hash oracle.
+Scoring is EXACT-INTEGER (VERDICT r3 'What's missing' #1): embeddings
+are milli-quantized to int64 IN SPARK with the same expression the
+DuckDB oracle uses (portable.quantize_*, the ivf.py:63-73 trick), the
+matmul and squared norms run in int64 (order-independent, no float
+summation), and the single float divide happens in the JVM with the
+same nullif-guarded expression as the oracle — so the value-hash
+matches cross-engine and the operator graduates from rows-only to a
+full oracle check.  The quantizer is one O(dim) interpreted transform
+per row (not per pair); the O(rows x queries x dim) scoring stays in
+the numpy matmul.  Local top-k selection ranks by the IDENTICAL
+double (sqrt/multiply/divide of the same integers) with the same
+(sim DESC, neighbor_id ASC) tie-break as the global window, so
+partition-local pruning can never drop a row the global rank keeps.
 """
 
 from __future__ import annotations
@@ -23,49 +33,103 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-OUT_DDL = "query_id bigint, neighbor_id bigint, sim double"
+from ..functions import portable as P
+
+DIM = 64
+_LOCAL_DDL = "query_id bigint, neighbor_id bigint, dot bigint, na bigint"
 
 
 def cosine_topk_numpy(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     spark = emb.sparkSession
-    qrows = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # tiny by construction: the query side is broadcast state
+    # well-formed guard (same as the other ANN ops): a ragged embedding
+    # would matmul against a misaligned slice or crash the batch
+    vq = emb.filter(F.size("embedding") == DIM).select(
+        "vec_id", F.expr(P.quantize_spark("embedding")).alias("q")
+    )
+    qrows = vq.filter(F.col("vec_id") < n_queries).collect()
+    # tiny by construction: the query side is broadcast state
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((q_ids, qm))
+    qm = np.array([r["q"] for r in qrows], dtype=np.int64)
+    q_norms = (qm * qm).sum(axis=1)  # int64, exact
+    bc = spark.sparkContext.broadcast((q_ids, qm, q_norms))
 
     def _score(batches):
-        ids, qmat = bc.value
+        ids, qmat, qn = bc.value
+        qden = np.sqrt(qn.astype(np.float64))
         for pdf in batches:
             n = len(pdf)
-            if n == 0:
+            if n == 0 or len(ids) == 0:
                 continue
-            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
-            norms = np.linalg.norm(cm, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            sims = (cm / norms) @ qmat.T  # (n_rows, n_queries)
-            top = min(k, n)
-            # local top-k per query within this batch
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
-            out_q, out_n, out_s = [], [], []
+            cm = np.array(list(pdf["q"]), dtype=np.int64)
+            dots = cm @ qmat.T  # (n_rows, n_queries), exact int64
+            na = (cm * cm).sum(axis=1)  # exact int64
+            den = np.sqrt(na.astype(np.float64))[:, None] * qden[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / den  # identical IEEE ops to the JVM expr
+            sims[den == 0.0] = -np.inf  # zero vectors rank last (JVM: NULL)
             vec_ids = pdf["vec_id"].to_numpy()
+            top = min(k, n)
+            out_q, out_n, out_d, out_a = [], [], [], []
             for qi in range(len(ids)):
-                sel = idx[:, qi]
-                out_q.extend([ids[qi]] * len(sel))
-                out_n.extend(vec_ids[sel])
-                out_s.extend(sims[sel, qi])
+                # exact (sim DESC, neighbor_id ASC) local order — the
+                # same total order as the global window below
+                order = np.lexsort((vec_ids, -sims[:, qi]))[:top]
+                out_q.extend([ids[qi]] * len(order))
+                out_n.extend(vec_ids[order])
+                out_d.extend(dots[order, qi])
+                out_a.extend(na[order])
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "dot": out_d,
+                    "na": out_a,
+                }
             )
 
-    local = emb.select("vec_id", "embedding").mapInPandas(_score, schema=OUT_DDL)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    local = vq.mapInPandas(_score, schema=_LOCAL_DDL)
+    # the one float division happens HERE, with the oracle's expression:
+    # zero-norm rows become NULL (not NaN) and sort last under desc
+    nq_map = F.create_map(
+        *[F.lit(v) for pair in zip(q_ids.tolist(), q_norms.tolist()) for v in pair]
+    )
+    scored = local.withColumn("nq", nq_map[F.col("query_id")]).withColumn(
+        "sim", F.expr(P.qcosine_expr("dot", "na", "nq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("sim"), "neighbor_id"
+    )
     return (
-        local.withColumn("rn", F.row_number().over(w).cast("int"))
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rn")
     )
+
+
+def cosine_topk_numpy_sql(n_queries: int = 5, k: int = 5) -> str:
+    """DuckDB oracle: the same quantize -> exact-integer dot/norms ->
+    single float divide, restated as a join + window — value-identical
+    to the numpy matmul because every float op is a single rounding of
+    the same exact integers."""
+    q = P.quantize_duck("embedding")
+    dot = P.int_dot_duck("qn.q", "cn.q")
+    sim = P.qcosine_expr(dot, "qn.sq", "cn.sq")
+    return f"""
+    WITH vq AS (
+      SELECT vec_id, {q} AS q FROM embeddings WHERE len(embedding) = {DIM}
+    ),
+    n AS (SELECT vec_id, q, {P.int_sqnorm_duck("q")} AS sq FROM vq),
+    scored AS (
+      SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id, {sim} AS sim
+      FROM n qn JOIN n cn ON qn.vec_id < {n_queries}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             cast(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY sim DESC NULLS LAST, neighbor_id) as int) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rn
+    FROM ranked WHERE rn <= {k}
+    """

@@ -24,15 +24,23 @@ def _topk_map(rows):
 
 
 def test_numpy_ann_matches_exact_baseline(spark):
+    """The int64-quantized numpy path (r4: exact-integer scoring, hash
+    oracled) against the float-fold exact baseline: milli-quantization
+    perturbs sims by ~1e-3, so compare neighbor SETS (recall), not sim
+    values, and require every query to find itself near sim 1.0."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = _topk_map(cosine_topk(emb, n_queries=5, k=5).collect())
     fast = _topk_map(cosine_topk_numpy(emb, n_queries=5, k=5).collect())
     assert set(exact) == set(fast)
+    hits = total = 0
     for q in exact:
-        # same similarity multiset to 5 dp (ranking ties at 6 dp may flip ids)
-        es = [round(s, 5) for s, _ in exact[q]]
-        fs = [round(s, 5) for s, _ in fast[q]]
-        assert es == fs, f"query {q}: {exact[q]} vs {fast[q]}"
+        en = {n for _, n in exact[q]}
+        fn = {n for _, n in fast[q]}
+        hits += len(en & fn)
+        total += len(en)
+        self_sims = [s for s, n in fast[q] if n == q]
+        assert self_sims and self_sims[0] > 0.999998, fast[q]
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
 
 
 def test_lsh_neardup_recall_vs_exact(spark):
