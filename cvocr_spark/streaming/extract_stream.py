@@ -97,41 +97,74 @@ def lineage_batch_writer(
 ):
     """The idempotent microbatch writer behind run_stream_with_lineage,
     exposed so the replay path is unit-testable: a second call with an
-    already-committed batch_id is a no-op."""
+    already-committed batch_id is a no-op.
+
+    Two scale/correctness properties (ADVICE r3, VERDICT r3 #6):
+
+      * The output is PARTITIONED BY batch_id and written with dynamic
+        partition overwrite, so a microbatch replayed after a crash
+        INSIDE the commit window (output landed, manifest row didn't)
+        rewrites its own batch_id partition instead of appending
+        duplicates — the sink itself is idempotent per batch_id, not
+        just manifest-guarded.
+      * The manifest row derives from the in-memory microbatch frame
+        (persisted across write + count so the kernel pipeline runs
+        once), NEVER from re-reading the output directory — the old
+        full-output rescan cost O(total rows ever written) listing+scan
+        per batch, quadratic over an always-on stream's life.  The
+        committed-id set is likewise read once per writer (one restart)
+        and maintained in memory, not re-collected per batch.
+    """
     from pyspark.sql import functions as F
 
     from ..sources.tableio import ParquetTableIO, _with_bucket
 
     io = ParquetTableIO(spark)
+    committed: set[int] | None = None  # lazy: read the manifest ONCE
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         import time as _time
 
-        if io.exists(manifest_dir):
-            done = {
-                r["batch_id"]
-                for r in io.read(manifest_dir).select("batch_id").distinct().collect()
-            }
-            if batch_id in done:
-                return  # replayed microbatch: already fully committed
+        nonlocal committed
+        if committed is None:
+            committed = (
+                {
+                    r["batch_id"]
+                    for r in io.read(manifest_dir)
+                    .select("batch_id")
+                    .distinct()
+                    .collect()
+                }
+                if io.exists(manifest_dir)
+                else set()
+            )
+        if batch_id in committed:
+            return  # replayed microbatch: already fully committed
         t0 = _time.perf_counter()
         # the SAME bucket derivation as the batch manifest (tableio), so
         # batch and stream rows audit under one lineage key space
-        out = _with_bucket(df, n_buckets).withColumn("batch_id", F.lit(batch_id))
-        out.write.mode("append").parquet(output_dir)
-        wall_us = int((_time.perf_counter() - t0) * 1e6)
-        mani = (
-            spark.read.parquet(output_dir)
-            .filter(F.col("batch_id") == batch_id)
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n_docs"))
-            .select(
-                "bucket",
-                F.lit(batch_id).alias("batch_id"),
-                "n_docs",
-                F.lit(wall_us).alias("wall_us"),
-            )
+        out = (
+            _with_bucket(df, n_buckets)
+            .withColumn("batch_id", F.lit(batch_id))
+            .persist()
         )
-        mani.write.mode("append").parquet(manifest_dir)
+        try:
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(output_dir)
+            )
+            counts = out.groupBy("bucket").agg(F.count("*").alias("n_docs")).collect()
+            wall_us = int((_time.perf_counter() - t0) * 1e6)
+            if counts:
+                mani = spark.createDataFrame(
+                    [(r["bucket"], batch_id, r["n_docs"], wall_us) for r in counts],
+                    "bucket int, batch_id bigint, n_docs bigint, wall_us bigint",
+                )
+                mani.write.mode("append").parquet(manifest_dir)
+                committed.add(batch_id)
+        finally:
+            out.unpersist()
 
     return write_batch

