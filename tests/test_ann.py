@@ -192,3 +192,22 @@ def test_ivf_torn_build_rebuilds(spark, tmp_path):
     shutil.rmtree(f"{path}/lists")
     rebuilt = ivf.ivf_build_and_search(spark, emb, path, n_queries=3).collect()
     assert sorted(map(tuple, rebuilt)) == sorted(map(tuple, first))
+
+def test_ivf_numpy_assignment_equals_flat_aggregates(spark):
+    """The production-k assignment (numpy int64 matmul, used past the
+    codegen width ceiling) must be ROW-IDENTICAL to the k-flat-aggregate
+    form: same Spark-side quantizer, same exact integers, same
+    first-min tie-break (VERDICT r3 #8)."""
+    from cvocr_spark.operators import ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = ivf._train(emb, ivf.IVF_K, ivf.IVF_ITERS)
+    flat = {
+        r["vec_id"]: (list(r["ds"]), r["cid"])
+        for r in ivf.assign_with_dists(emb, centroids).collect()
+    }
+    fast = {
+        r["vec_id"]: (list(r["ds"]), r["cid"])
+        for r in ivf.assign_with_dists_numpy(emb, centroids).collect()
+    }
+    assert flat == fast
