@@ -91,6 +91,44 @@ def main() -> None:
     n_keepers = clusters.filter("is_keeper").count()
     t_clusters = time.perf_counter() - t2
 
+    # CC kill/resume at soak scale (VERDICT r3 #9): reproduce the
+    # on-disk state of a run SIGKILLED after its round-KILL_AT clamp
+    # completed (max_iter cap leaves exactly the clamp frames a kill
+    # leaves — parquet + _SUCCESS per 4th round), then resume from the
+    # same checkpoint_dir with the same deterministic pair list and
+    # demand keepers IDENTICAL to the uninterrupted run above.
+    resume_demo = None
+    if os.environ.get("CVOCR_SOAK_RESUME_DEMO", "1") != "0":
+        import shutil
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix="cvocr_soak_cc_")
+        kill_at = int(os.environ.get("CVOCR_SOAK_KILL_AT_ROUND", "12"))
+        pairs = verified.select("a", "b")
+        t3 = time.perf_counter()
+        _, rounds_killed = dedup._connected_components_rounds(
+            pairs, max_iter=kill_at, checkpoint_dir=ckpt
+        )
+        t_killed = time.perf_counter() - t3
+        t3 = time.perf_counter()
+        resumed = dedup.dedup_clusters(corpus, pairs, checkpoint_dir=ckpt).persist()
+        t_resumed = time.perf_counter() - t3
+        diff = (
+            clusters.filter("is_keeper").select("doc_id")
+            .exceptAll(resumed.filter("is_keeper").select("doc_id")).count()
+            + resumed.filter("is_keeper").select("doc_id")
+            .exceptAll(clusters.filter("is_keeper").select("doc_id")).count()
+        )
+        resume_demo = {
+            "kill_at_round": kill_at,
+            "rounds_before_kill": rounds_killed,
+            "killed_wall_sec": round(t_killed, 1),
+            "resumed_wall_sec": round(t_resumed, 1),
+            "keepers_match_scratch": diff == 0,
+        }
+        resumed.unpersist()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
     # recall ground truth: sample within-family variant pairs, compute
     # TRUE token jaccard; among those >= THRESHOLD, how many did the
     # pipeline emit?
@@ -142,6 +180,7 @@ def main() -> None:
                 "docs_per_sec_end_to_end": round(
                     n_docs / (t_cand + t_verify + t_clusters), 1
                 ),
+                "resume_demo": resume_demo,
             }
         )
     )
