@@ -28,11 +28,13 @@ from html import unescape
 
 from .kernel import (
     _BLOCK_TAGS,
+    _BOILER_HINT_RE,
     _BOILER_TAGS,
     _HIDDEN_STYLE_RE,
     _SKIP_TAGS,
     _VOID_TAGS,
     Block,
+    _has_boiler_class,
 )
 
 TOKEN_RE = re.compile(
@@ -75,13 +77,45 @@ def _is_hidden(low: str) -> bool:
     return False
 
 
+def _boiler_class_attrs(raw_attrs: str) -> bool:
+    """True iff class/id carries a chrome keyword TOKEN (kernel.
+    _BOILER_CLASS_TOKENS)."""
+    vals = [
+        v.strip("\"'")
+        for name, v in _ATTR_RE.findall(raw_attrs.lower())
+        if name in ("class", "id") and v
+    ]
+    return bool(vals) and _has_boiler_class(vals)
+
+
+# memo: attr-string -> boiler decision.  Chrome attr strings repeat
+# across every page of a site (class="brand", class="newsletter", ...),
+# so the steady-state cost of the class-keyword feature is ONE dict
+# lookup per attributed tag — the uncached hint-regex-per-tag form
+# measured +24% kernel wall (pinned-core A/B, NOTES r4).  Bounded and
+# cleared wholesale: the decision is a pure function of the string, so
+# eviction can never change results.
+_BOILER_MEMO: dict[str, bool] = {}
+_BOILER_MEMO_MAX = 100_000
+
+
+def _boiler_cached(attrs: str) -> bool:
+    got = _BOILER_MEMO.get(attrs)
+    if got is None:
+        if len(_BOILER_MEMO) >= _BOILER_MEMO_MAX:
+            _BOILER_MEMO.clear()
+        got = bool(_BOILER_HINT_RE.search(attrs)) and _boiler_class_attrs(attrs)
+        _BOILER_MEMO[attrs] = got
+    return got
+
+
 class FastSegmenter:
     """Same public surface as kernel._Segmenter: feed()/close()/blocks."""
 
     __slots__ = (
         "stack", "skip_depth", "boiler_depth", "link_depth", "blocks",
         "_parts", "_link_chars", "_raw_chars", "_n_tags", "_cur_tag",
-        "_skip_marks",
+        "_skip_marks", "_boiler_marks",
     )
 
     def __init__(self) -> None:
@@ -96,6 +130,7 @@ class FastSegmenter:
         self._n_tags = 0
         self._cur_tag = "body"
         self._skip_marks: list[int] = []
+        self._boiler_marks: list[int] = []
 
     # -- identical flush/data/start/end semantics to kernel._Segmenter ----
     def _flush(self) -> None:
@@ -131,7 +166,7 @@ class FastSegmenter:
         if self.link_depth > 0:
             self._link_chars += stripped
 
-    def _start(self, tag: str, hidden: bool) -> None:
+    def _start(self, tag: str, hidden: bool, boiler_cls: bool = False) -> None:
         if tag == "br":
             self._parts.append("\n\n")  # blank-line sentinel (P7 separator)
             return
@@ -150,6 +185,9 @@ class FastSegmenter:
             self._n_tags += 1
             if tag in _BOILER_TAGS:
                 self.boiler_depth += 1
+            elif boiler_cls:
+                self.boiler_depth += 1
+                self._boiler_marks.append(len(self.stack))
             if tag == "a":
                 self.link_depth += 1
 
@@ -167,6 +205,12 @@ class FastSegmenter:
                     self._cur_tag = self.stack[-1] if self.stack else "body"
                 if popped in _BOILER_TAGS:
                     self.boiler_depth = max(0, self.boiler_depth - 1)
+                elif (
+                    self._boiler_marks
+                    and self._boiler_marks[-1] == len(self.stack) + 1
+                ):
+                    self._boiler_marks.pop()
+                    self.boiler_depth = max(0, self.boiler_depth - 1)
                 if popped == "a":
                     self.link_depth = max(0, self.link_depth - 1)
             if popped == tag:
@@ -177,6 +221,7 @@ class FastSegmenter:
         pos = 0
         n = len(doc)
         search = TOKEN_RE.search
+        memo_get = _BOILER_MEMO.get  # hot path: inline the cache probe
         while pos < n:
             m = search(doc, pos)
             if m is None:
@@ -194,11 +239,15 @@ class FastSegmenter:
                 self._end(tag)
                 continue
             hidden = False
+            boiler_cls = False
             if attrs:
                 al = attrs.lower()
                 if "hidden" in al or "display" in al or "visibility" in al:
                     hidden = _is_hidden(al)
-            self._start(tag, hidden)
+                boiler_cls = memo_get(attrs)
+                if boiler_cls is None:
+                    boiler_cls = _boiler_cached(attrs)
+            self._start(tag, hidden, boiler_cls)
             if selfclose:  # self-closing: <x/> == start+end (HTMLParser parity)
                 self._end(tag)
             elif tag in _RAWTEXT:

@@ -202,6 +202,47 @@ _SKIP_TAGS = frozenset(
 # boilerplate-context containers (tag-context feature for C1)
 _BOILER_TAGS = frozenset("nav header footer aside".split())
 
+# class/id keyword boilerplate context (r4, VERDICT r3 #10): semantic
+# HTML stops at the four tags above, but real chrome lives in
+# <div class="newsletter">, <div class="cookie-banner">, ... — the
+# classic boilerpipe/jusText class-keyword signal.  An element whose
+# class or id contains one of these TOKENS (split on non-alphanumerics,
+# exact token match — 'shadow' never matches 'ad') extends boiler_ctx
+# over its subtree exactly like a <nav>.  The token list is
+# conservative: every word is a strong chrome marker; generic layout
+# words (banner, hero, box) are deliberately absent because page titles
+# live inside them.  Fixed the measured newsletter-CTA leak
+# (tests/goldens/realistic_metrics.json) without touching any of the
+# other 31 labeled pages.
+_BOILER_CLASS_TOKENS = frozenset(
+    """newsletter subscribe signup promo promotion advert advertisement
+    adunit sponsored sponsor cookie cookies consent gdpr popup modal
+    overlay social share sharing related recommended recommendations
+    paywall breadcrumb breadcrumbs sidebar cta""".split()
+)
+# cheap containment pre-gate before attr tokenization (the fastparse
+# hot path runs this on every attributed tag — keep it one regex)
+_BOILER_HINT_RE = re.compile(
+    r"newsletter|subscrib|signup|promo|advert|adunit|sponsor|cookie"
+    r"|consent|gdpr|popup|modal|overlay|social|shar|related|recommend"
+    r"|paywall|breadcrumb|sidebar|\bcta\b",
+    re.IGNORECASE,
+)
+_TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _has_boiler_class(class_id_values: list[str]) -> bool:
+    for v in class_id_values:
+        for tok in _TOKEN_SPLIT_RE.split(v.lower()):
+            if tok in _BOILER_CLASS_TOKENS:
+                return True
+    return False
+
+
+# heading tags: a heading belongs to the section that FOLLOWS it
+# (W2 heading-affinity rule, r4)
+_HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
 # tags that flush the current block (P2 candidate-region boundaries —
 # graft of MSER candidate detection, preprocess.h:313-371)
 _BLOCK_TAGS = frozenset(
@@ -245,6 +286,7 @@ class _Segmenter(HTMLParser):
         self._n_tags = 0
         self._cur_tag = "body"
         self._skip_marks: list[int] = []
+        self._boiler_marks: list[int] = []
 
     # -- block flushing ----------------------------------------------------
     def _flush(self) -> None:
@@ -272,11 +314,17 @@ class _Segmenter(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
         hidden = False
+        cls_vals: list[str] = []
         for k, v in attrs:
             if k == "hidden":
                 hidden = True
             elif k == "style" and v and _HIDDEN_STYLE_RE.search(v.lower()):
                 hidden = True
+            elif k in ("class", "id") and v:
+                cls_vals.append(v)
+        boiler_cls = bool(cls_vals) and any(
+            _BOILER_HINT_RE.search(v) for v in cls_vals
+        ) and _has_boiler_class(cls_vals)
         if tag == "br":
             # P7 separator: a <br> inside a block is a soft split point
             # (blank-line sentinel; single source newlines are mere
@@ -299,6 +347,12 @@ class _Segmenter(HTMLParser):
             self._n_tags += 1
             if tag in _BOILER_TAGS:
                 self.boiler_depth += 1
+            elif boiler_cls:
+                # class-keyword chrome container: same context effect as
+                # nav/header/footer/aside, unwound via a depth mark
+                # (the tag name alone can't identify it at pop time)
+                self.boiler_depth += 1
+                self._boiler_marks.append(len(self.stack))
             if tag == "a":
                 self.link_depth += 1
 
@@ -322,6 +376,12 @@ class _Segmenter(HTMLParser):
                     self._flush()
                     self._cur_tag = self.stack[-1] if self.stack else "body"
                 if popped in _BOILER_TAGS:
+                    self.boiler_depth = max(0, self.boiler_depth - 1)
+                elif (
+                    self._boiler_marks
+                    and self._boiler_marks[-1] == len(self.stack) + 1
+                ):
+                    self._boiler_marks.pop()
                     self.boiler_depth = max(0, self.boiler_depth - 1)
                 if popped == "a":
                     self.link_depth = max(0, self.link_depth - 1)
@@ -485,8 +545,22 @@ def _neighbor_relabel(blocks: list[Block], cfg: KernelConfig) -> None:
         prev_c = i > 0 and blocks[i - 1].cls == "content"
         next_c = i + 1 < len(blocks) and blocks[i + 1].cls == "content"
         # min-substance guard: a 4-char table cell next to prose is not
-        # content (the thin/flat-shape precondition of cut.h:764)
-        if (prev_c or next_c) and b.link_density == 0.0 and b.n_chars >= 10:
+        # content (the thin/flat-shape precondition of cut.h:764).
+        # Exception (r4): a HEADING whose next block is content belongs
+        # to that section regardless of its own length — 'Method' before
+        # a recipe paragraph is content at 6 chars (the measured
+        # short-heading drop, realistic_metrics.json); a heading whose
+        # following block is chrome gets no such promotion, and neither
+        # does one containing a digit ('part 3', 'Page 2' — the
+        # digit-run refusal of cut.h:468-472, same guard as
+        # _run_length_promote: generic enumeration headings are noise).
+        substantial = b.n_chars >= 10 or (
+            b.tag in _HEADING_TAGS
+            and next_c
+            and b.n_chars >= 2
+            and not any(ch.isdigit() for ch in b.text)
+        )
+        if (prev_c or next_c) and b.link_density == 0.0 and substantial:
             b.cls = "content"
             promos += 1
 

@@ -215,6 +215,10 @@ near-vertical strata visible on the east face.</p>
     + _CHROME_BOTTOM,
     keep=[
         "Mount Karstfell",
+        # r4: the Geology section heading is keep — same labeling rule
+        # as Ingredients/Method on the recipe page (a heading of kept
+        # prose is content); it was an omission in the original labels
+        "Geology",
         "Mount Karstfell is a limestone peak in the northern range whose summit "
         "ridge forms the watershed between two major river systems of the region.",
         "The first recorded ascent was made in 1887 by a survey team mapping the "
