@@ -1,0 +1,92 @@
+"""URL / domain analytics — the webtext-pipeline operators that turn a
+crawl's url column into the per-domain views a curation pass consumes
+(domain blocklists, per-host quality means, crawl-balance reports).
+
+Pure column expressions in both dialects: regexp_extract behaves
+identically in Spark and DuckDB for this grammar (no-match -> '',
+NULL -> NULL — probed and pinned in tests/test_urlstats.py on a
+degenerate-url corpus), and everything downstream is exact integer /
+string arithmetic, so the rollups are value-hash comparable
+cross-engine.
+
+Scale notes: url_parts is a stateless projection (pushes down, no
+shuffle).  domain_rollup is one hash-aggregate keyed by host —
+map-side partials absorb the per-host skew a crawl always has (the
+biggest host ships one partial row per map task, not its row set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)"
+
+
+def url_parts(df: DataFrame, col: str = "url") -> DataFrame:
+    """Adds (host, path, path_depth, tld, is_https) parsed from ``col``.
+    Unparseable urls get host '' (kept, not dropped — a crawl wants to
+    COUNT its garbage); NULL propagates.  The port is kept as part of
+    host (a:8080 and a are different origins — the safe default for
+    dedup keying)."""
+    host = F.regexp_extract(F.col(col), _HOST_RE, 1)
+    path = F.regexp_extract(F.col(col), _PATH_RE, 1)
+    depth = F.size(F.expr(f"filter(split(regexp_extract({col}, '{_PATH_RE}', 1), '/'), s -> s != '')"))
+    tld = F.element_at(F.split(host, "\\."), -1)
+    return df.withColumns(
+        {
+            "host": host,
+            "path": path,
+            "path_depth": depth,
+            "tld": tld,
+            "is_https": F.col(col).startswith("https://"),
+        }
+    )
+
+
+def url_parts_sql(table: str, col: str = "url") -> str:
+    return f"""
+    SELECT *,
+           regexp_extract({col}, '{_HOST_RE}', 1) AS host,
+           regexp_extract({col}, '{_PATH_RE}', 1) AS path,
+           cast(len(list_filter(string_split(regexp_extract({col}, '{_PATH_RE}', 1), '/'),
+                                s -> s != '')) as int) AS path_depth,
+           string_split(regexp_extract({col}, '{_HOST_RE}', 1), '.')[-1] AS tld,
+           starts_with({col}, 'https://') AS is_https
+    FROM {table}
+    """
+
+
+def domain_rollup(parts: DataFrame, size_col: str = "n_chars") -> DataFrame:
+    """Per-host crawl-balance view over a url_parts frame: doc count,
+    mean document size, https share, max path depth — the table a
+    curation pass sorts to find boilerplate mills and crawler traps.
+    Exact arithmetic: integer sums, one guarded double division per
+    mean (NULL host groups NULLs together, same on both engines)."""
+    return parts.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(size_col).cast("double") / F.nullif(F.count(size_col), F.lit(0)), 2
+        ).alias("mean_size"),
+        F.round(
+            F.sum(F.when(F.col("is_https"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("https_share"),
+        F.max("path_depth").alias("max_depth"),
+    )
+
+
+def domain_rollup_sql(parts_sql: str, size_col: str = "n_chars") -> str:
+    return f"""
+    SELECT host,
+           count(*) AS n_docs,
+           round(cast(sum({size_col}) as double) / nullif(count({size_col}), 0), 2)
+             AS mean_size,
+           round(cast(sum(CASE WHEN is_https THEN 1 ELSE 0 END) as double)
+                 / count(*), 4) AS https_share,
+           max(path_depth) AS max_depth
+    FROM ({parts_sql})
+    GROUP BY host
+    """
