@@ -560,7 +560,18 @@ def _neighbor_relabel(blocks: list[Block], cfg: KernelConfig) -> None:
             and b.n_chars >= 2
             and not any(ch.isdigit() for ch in b.text)
         )
-        if (prev_c or next_c) and b.link_density == 0.0 and substantial:
+        # boiler-context blocks get NO single-block neighbor rescue: a
+        # link-free promo sitting between two paragraphs is exactly the
+        # shape this would wrongly promote (r4, promo_plaintext page).
+        # A genuinely mis-contained article still recovers through the
+        # multi-block run-length promotion, which requires >= min_run
+        # consecutive blocks — isolated interstitials never have that.
+        if (
+            (prev_c or next_c)
+            and b.link_density == 0.0
+            and substantial
+            and not b.boiler_ctx
+        ):
             b.cls = "content"
             promos += 1
 

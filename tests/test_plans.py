@@ -242,3 +242,14 @@ def test_kmv_values_unchanged_by_partial_plan(spark):
             kth = hashes[temporal.KMV_K - 1]
             want = round((temporal.KMV_K - 1) * float(2**60) / float(kth), 2)
             assert est == want, (et, est, want)
+
+
+def test_stratified_sample_has_partial_rank_limit(spark):
+    """The per-group quota must carry WindowGroupLimit map-side partials
+    (rank <= n prunes each stratum to n rows per map task BEFORE the
+    shuffle) — without it a hot stratum ships its entire row set."""
+    from cvocr_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(sampling.stratified_sample(docs, "source", "doc_id", 3))
+    assert "WindowGroupLimit" in plan and ", Partial" in plan, plan[:3000]

@@ -931,6 +931,80 @@ _page(
     drop=["Advertisement", "Shop the winter sale now", "Sign up free"],
 )
 
+# -- 32. link-FREE promo interstitial (r4): plain-text marketing copy long
+#        enough to pass every length/link-density rule — only the
+#        class-keyword context can catch it ----------------------------------
+_page(
+    "promo_plaintext",
+    _CHROME_TOP
+    + """<main><article>
+<h1>The quiet revival of the town's covered market</h1>
+<p>Stall rents were frozen for three years while the roof was rebuilt, and
+the gamble paid off: occupancy is back above ninety percent and the fish
+counter queues on Saturdays reach the side entrance again.</p>
+<div class="promo">Limited offer: three months free on any stall when you
+register before the end of the season, terms and conditions apply to new
+traders only.</div>
+<p>Traders credit the decision to keep the wholesale entrance open during
+the works, which let regular customers keep their habits while the rest of
+the building was a construction site.</p>
+<div class="social-share"><span>Share this story</span><span>Copy link</span></div>
+</article></main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "The quiet revival of the town's covered market",
+        "Stall rents were frozen for three years while the roof was rebuilt, "
+        "and the gamble paid off: occupancy is back above ninety percent and "
+        "the fish counter queues on Saturdays reach the side entrance again.",
+        "Traders credit the decision to keep the wholesale entrance open "
+        "during the works, which let regular customers keep their habits "
+        "while the rest of the building was a construction site.",
+    ],
+    drop=[
+        # 100+ chars of link-free text: invisible to link-density and
+        # length rules; the class="promo" context is the only signal
+        "Limited offer: three months free",
+        "Share this story",
+        "Copy link",
+    ],
+)
+
+# -- 33. enumeration-heading noise (r4): generic digit headings between
+#        paragraphs stay dropped (the heading-affinity promotion's
+#        digit-refusal guard), while the alphabetic section heading is kept --
+_page(
+    "digit_headings",
+    _CHROME_TOP
+    + """<main><article>
+<h1>Keeping a sourdough starter alive through the winter</h1>
+<h3>part 1</h3>
+<p>Cold kitchens slow the culture down, so move the jar to the top of the
+refrigerator where the compressor's warmth keeps it a few degrees above the
+rest of the shelf.</p>
+<h3>part 2</h3>
+<p>Feeding once a week is enough below fifteen degrees; the surface liquid
+is harmless and stirs back in, and a grey tint is age rather than spoilage.</p>
+<h2>Troubleshooting</h2>
+<p>A starter that smells of acetone is hungry, not dead: two feeds twelve
+hours apart at room temperature will bring the yeast population back.</p>
+</article></main>"""
+    + _CHROME_BOTTOM,
+    keep=[
+        "Keeping a sourdough starter alive through the winter",
+        "Troubleshooting",
+        "Cold kitchens slow the culture down, so move the jar to the top of "
+        "the refrigerator where the compressor's warmth keeps it a few "
+        "degrees above the rest of the shelf.",
+        "Feeding once a week is enough below fifteen degrees; the surface "
+        "liquid is harmless and stirs back in, and a grey tint is age rather "
+        "than spoilage.",
+        "A starter that smells of acetone is hungry, not dead: two feeds "
+        "twelve hours apart at room temperature will bring the yeast "
+        "population back.",
+    ],
+    drop=["part 1", "part 2", "Sign up free"],
+)
+
 # -- harness -----------------------------------------------------------------
 
 
