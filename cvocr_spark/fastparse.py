@@ -79,7 +79,11 @@ def _is_hidden(low: str) -> bool:
 
 def _boiler_class_attrs(raw_attrs: str) -> bool:
     """True iff class/id carries a chrome keyword TOKEN (kernel.
-    _BOILER_CLASS_TOKENS)."""
+    _BOILER_CLASS_TOKENS).  Attr values are entity-decoded first —
+    HTMLParser hands its callbacks decoded values, and the boiler
+    decision must be byte-identical between the two segmenters
+    (class="news&#108;etter" IS class="newsletter"); the memo above
+    makes the unescape cost one-time per unique attr string."""
     vals = [
         v.strip("\"'")
         for name, v in _ATTR_RE.findall(raw_attrs.lower())
@@ -104,7 +108,13 @@ def _boiler_cached(attrs: str) -> bool:
     if got is None:
         if len(_BOILER_MEMO) >= _BOILER_MEMO_MAX:
             _BOILER_MEMO.clear()
-        got = bool(_BOILER_HINT_RE.search(attrs)) and _boiler_class_attrs(attrs)
+        # entity-decode EXACTLY ONCE before the hint and the token
+        # check: HTMLParser hands its callbacks decoded attr values
+        # (class="news&#108;etter" IS class="newsletter"), and a second
+        # unescape would itself diverge (&amp;#108; must stay &#108;).
+        # Memoized, so the decode costs one-time per unique attr string.
+        probe = unescape(attrs) if "&" in attrs else attrs
+        got = bool(_BOILER_HINT_RE.search(probe)) and _boiler_class_attrs(probe)
         _BOILER_MEMO[attrs] = got
     return got
 

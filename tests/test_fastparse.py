@@ -107,3 +107,33 @@ def test_fast_never_crashes_on_garbage(raw):
     assert isinstance(r.text, str)
     for (_b, s, e, _c) in r.spans:
         assert 0 <= s <= e <= len(r.text)
+
+
+def test_boiler_class_attr_forms_match_reference():
+    """The r4 class-keyword boiler context must make the SAME decision
+    in both segmenters for every attribute spelling HTML allows:
+    quoting styles, case, multi-token classes, id vs class, entity
+    refs in the value (HTMLParser decodes them; the scanner must too),
+    keywords appearing in NON-class attrs (must NOT trigger), and
+    tokens that merely contain a keyword as a substring (must NOT
+    match)."""
+    body = b"<p>real content that is long enough to classify as content ok</p>"
+    chrome = b"inline promo text between paragraphs long enough to matter here"
+    cases = [
+        b'<div class="newsletter">%s</div>' % chrome,
+        b"<div class='newsletter'>%s</div>" % chrome,
+        b"<div class=newsletter>%s</div>" % chrome,
+        b'<div CLASS="NEWSLETTER">%s</div>' % chrome,
+        b'<div class="box newsletter wide">%s</div>' % chrome,
+        b'<div id="newsletter-signup">%s</div>' % chrome,
+        b'<div class="news&#108;etter">%s</div>' % chrome,  # entity in value
+        b'<div data-x="newsletter">%s</div>' % chrome,  # non-class attr: no trigger
+        b'<a href="/newsletter">link</a><div>%s</div>' % chrome,  # href: no trigger
+        b'<div class="newsletters">%s</div>' % chrome,  # substring token: no match
+        b'<div class="shadow">%s</div>' % chrome,  # 'ad' inside a word: no match
+        b'<div class="cta">%s</div>' % chrome,
+        b'<nav class="newsletter">%s</nav>' % chrome,  # tag AND class boiler: single count
+        b'<div class="promo"><script>x</script>%s</div>' % chrome,  # skip inside boiler
+    ]
+    for c in cases:
+        _same(b"<html><body>" + body + c + body + b"</body></html>")
