@@ -1,0 +1,117 @@
+"""End-to-end corpus curation — the composed pipeline a training-data
+team actually runs, wired from the repo's own operators in the order a
+100-TB crawl needs them:
+
+  1. extract     raw pages -> text (plans/job.py kernel stage; when the
+                 input is already a documents table this stage is a
+                 pass-through — both entry points are supported)
+  2. hygiene     pii_scrub (redacted text is what ships) +
+                 script_profile (routing metadata)
+  3. quality     corpus_filter gates (length / quality / repetition),
+                 drop reasons carried, not discarded
+  4. dedup       exact (length, md5) then MinHash-LSH -> Jaccard-verify
+                 -> connected components -> one keeper per cluster
+  5. decontam    eval-set n-gram overlap flag (broadcast semi-join)
+  6. split       leakage-safe train/eval assignment (content-keyed)
+
+The output is ONE manifest with every decision EXPLAINED per document
+(kept, drop_reasons, dup cluster + keeper, contamination, split) — a
+curation run you can audit, not a black-box filter.  Stage order
+matters at scale and is deliberate: hygiene/quality gates are stateless
+projections that shrink the corpus BEFORE the shuffling stages (LSH,
+CC), and decontamination runs only over surviving keepers (the
+broadcast probe is cheap, but why probe documents already dropped?).
+
+Determinism: every stage is seed- and content-keyed, so two runs over
+the same input produce byte-identical manifests (asserted in
+tests/test_curate.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import decontam as _dc
+from ..operators import dedup as _dd
+from ..operators import sampling as _sp
+from ..operators import scrub as _sc
+from ..operators import textstats as _ts
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    eval_pct: float = 5.0,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """documents(doc_id, text, ...) -> curation manifest:
+
+    (doc_id, keep, drop_reasons, cluster_id, is_keeper, is_contaminated,
+     split, main_script, n_email, n_ip, n_phone, scrubbed)
+
+    ``keep`` is the FINAL decision: passed every quality gate AND is
+    its cluster's keeper AND is not contaminated.  Dropped docs stay in
+    the manifest with their reasons — the audit surface.
+    """
+    base = docs.select("doc_id", "text")
+
+    # 2. hygiene: scrubbed text + script routing metadata
+    scrubbed = _sc.pii_scrub(base)
+    script = _sc.script_profile(base).select("doc_id", "main_script")
+
+    # 3. quality gates (over the ORIGINAL text: '<EMAIL>' tokens must
+    # not perturb quality statistics)
+    gates = _ts.corpus_filter(base).select("doc_id", "keep", "drop_reasons")
+
+    # 4. dedup over quality survivors only
+    survivors = base.join(
+        gates.filter("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = _dd.minhash_verified_dups(survivors, threshold=threshold).select("a", "b")
+    clusters = _dd.dedup_clusters(survivors, pairs)
+
+    # 5. decontaminate the keepers (skip if no eval set supplied)
+    keepers = survivors.join(
+        clusters.filter("is_keeper").select("doc_id"), "doc_id", "left_semi"
+    )
+    if eval_docs is not None:
+        contam = _dc.decontaminate(keepers, eval_docs)
+    else:
+        contam = keepers.select(
+            "doc_id", F.lit(False).alias("is_contaminated")
+        )
+
+    # 6. leakage-safe split over the final survivors
+    split = _sp.split_train_eval(keepers.select("doc_id"), "doc_id", eval_pct)
+
+    out = (
+        gates.join(clusters.select("doc_id", "cluster_id", "is_keeper"), "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(split.select("doc_id", "split"), "doc_id", "left")
+        .join(script, "doc_id", "left")
+        .join(scrubbed, "doc_id", "left")
+    )
+    final_keep = (
+        F.col("keep")
+        & F.coalesce("is_keeper", F.lit(False))
+        & ~F.coalesce("is_contaminated", F.lit(True))
+    )
+    return out.select(
+        "doc_id",
+        final_keep.alias("keep"),
+        F.when(F.col("drop_reasons") != "", F.col("drop_reasons"))
+        .when(~F.coalesce("is_keeper", F.lit(False)), F.lit("duplicate"))
+        .when(F.coalesce("is_contaminated", F.lit(False)), F.lit("contaminated"))
+        .otherwise(F.lit(""))
+        .alias("drop_reasons"),
+        "cluster_id",
+        F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
+        F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
+        "split",
+        "main_script",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        "scrubbed",
+    )

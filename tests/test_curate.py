@@ -1,0 +1,67 @@
+"""End-to-end curation pipeline: one manifest row per input doc, every
+decision explained, deterministic across runs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvocr_spark.operators import dedup  # noqa: E402
+from cvocr_spark.plans.curate import curate_corpus  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _manifest(spark):
+    docs = dedup.with_injected_dups(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    )
+    # eval set: the verbatim text of one corpus doc (guaranteed overlap)
+    # plus an unrelated prompt
+    ev = spark.createDataFrame(
+        [(9001, docs.filter("doc_id = 7").collect()[0]["text"]),
+         (9002, "completely unrelated benchmark prompt about orbital mechanics")],
+        "doc_id bigint, text string",
+    )
+    return docs, curate_corpus(docs, ev).collect()
+
+
+def test_curate_manifest_complete_and_consistent(spark):
+    docs, rows = _manifest(spark)
+    n = docs.count()
+    assert len(rows) == n  # one row per input doc, kept or not
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == n
+    for r in rows:
+        if r["keep"]:
+            # a kept doc passed every stage and says so
+            assert r["drop_reasons"] == ""
+            assert r["is_keeper"] and not r["is_contaminated"]
+            assert r["split"] in ("train", "eval")
+            assert r["scrubbed"] is not None
+        else:
+            assert r["drop_reasons"] != ""
+
+    # injected exact/near duplicates resolve to one keeper per cluster
+    dup_rows = [r for r in rows if r["drop_reasons"] == "duplicate"]
+    assert dup_rows, "injected dups must produce duplicate drops"
+    for r in dup_rows:
+        keeper = by_id[r["cluster_id"]]
+        assert keeper["is_keeper"]
+
+    # the doc whose text IS in the eval set gets flagged, not kept
+    r7 = by_id[7]
+    assert r7["is_contaminated"] or r7["drop_reasons"] != ""
+    contaminated = [r for r in rows if r["drop_reasons"] == "contaminated"]
+    assert contaminated, "eval-overlap doc must be dropped as contaminated"
+
+
+def test_curate_deterministic(spark):
+    _, a = _manifest(spark)
+    _, b = _manifest(spark)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
+        map(tuple, b), key=lambda t: t[0]
+    )
