@@ -64,10 +64,15 @@ def curate_corpus(
     # not perturb quality statistics)
     gates = _ts.corpus_filter(base).select("doc_id", "keep", "drop_reasons")
 
-    # 4. dedup over quality survivors only
+    # 4. dedup over quality survivors only.  survivors feeds THREE
+    # consumers (pair pipeline, cluster resolution, keeper probe) —
+    # persist so the gate pipelines run once, not three times.  A
+    # crawl-scale run materializes each stage to the lake instead
+    # (the dedup-index build/serve split, dedup.py) — this in-plan
+    # composition is the single-job form.
     survivors = base.join(
         gates.filter("keep").select("doc_id"), "doc_id", "left_semi"
-    )
+    ).persist()
     pairs = _dd.minhash_verified_dups(survivors, threshold=threshold).select("a", "b")
     clusters = _dd.dedup_clusters(survivors, pairs)
 
