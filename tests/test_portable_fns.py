@@ -121,3 +121,46 @@ def test_simhash_cross_engine(frames):
         ).fetchall()
     )
     assert got == want
+
+
+def test_ngrams_cross_engine_adversarial(frames):
+    """The r4 n-word shingle builder (decontamination) must agree on
+    the adversarial corpus exactly like the fixed 3-word builder."""
+    import pyspark.sql.functions as F
+
+    from cvocr_spark.operators import decontam
+
+    sdf, con = frames
+    for n in (2, 5):
+        expr = decontam.ngrams_spark(P.words_spark("text"), n)
+        got = {
+            r["id"]: r["g"]
+            for r in sdf.select("id", F.expr(expr).alias("g")).collect()
+        }
+        want = {
+            i: g
+            for i, g in con.execute(
+                f"SELECT id, {decontam.ngrams_duck(P.words_duck('text'), n)} FROM t"
+            ).fetchall()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_quantize_cross_engine(spark):
+    """The r4 milli-quantizer (exact-integer ANN scoring) must round
+    identically in both engines, including negative halves and values
+    whose shortest decimal repr sits near a .5 boundary."""
+    import duckdb as _d
+    import pyspark.sql.functions as F
+
+    vals = [
+        [0.0015, -0.0015, 0.00249999999, -0.5, 0.5, 1.0, -1.0,
+         0.1234567, -0.9999995, 2.6749999999999998, 0.0005, -0.0005],
+    ]
+    sdf = spark.createDataFrame([(1, vals[0])], "id int, embedding array<float>")
+    got = sdf.select(F.expr(P.quantize_spark("embedding")).alias("q")).collect()[0]["q"]
+    con = _d.connect()
+    con.execute("CREATE TABLE t2 (id INTEGER, embedding FLOAT[])")
+    con.execute("INSERT INTO t2 VALUES (1, ?)", [vals[0]])
+    want = con.execute(f"SELECT {P.quantize_duck('embedding')} FROM t2").fetchone()[0]
+    assert got == want, (got, want)
