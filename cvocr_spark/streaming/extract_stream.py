@@ -168,3 +168,64 @@ def lineage_batch_writer(
             out.unpersist()
 
     return write_batch
+
+
+def stats_batch_writer(spark: SparkSession, stats_dir: str):
+    """Per-microbatch MERGEABLE statistics — the streaming face of the
+    sketch-partials contract (histsketch.py): each batch appends its
+    own log2-histogram partial of extracted-text length (grp = flags,
+    the kernel's routing label), partitioned by batch_id with dynamic
+    overwrite for the same replay idempotence as the lineage sink.
+    ``read_merged_stats`` folds partials with the bucket-wise SUM that
+    defines the sketch — the merged view over any prefix of batches
+    equals the batch-computed histogram over the same rows (asserted in
+    tests/test_streaming.py), so a dashboard reads O(batches x buckets)
+    rows, never the output table."""
+    from pyspark.sql import functions as F
+
+    from ..operators.histsketch import log2_histogram
+
+    def write_stats(df: DataFrame, batch_id: int) -> None:
+        hist = log2_histogram(
+            df.select(F.col("flags").alias("grp_src"), F.length("text").alias("v")),
+            "grp_src",
+            "v",
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            hist.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(stats_dir)
+        )
+
+    return write_stats
+
+
+def read_merged_stats(spark: SparkSession, stats_dir: str) -> DataFrame:
+    """(grp, bucket, n) — the merged histogram over all batches."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(stats_dir)
+        .groupBy("grp", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def run_stream_with_stats(
+    spark: SparkSession,
+    input_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    cfg: KernelConfig = DEFAULT_CONFIG,
+    max_files_per_trigger: int = 2,
+):
+    """Continuous extraction feeding the mergeable-stats sink only —
+    the always-on corpus-health monitor shape.  Returns the query."""
+    ext = extract_pages_stream(spark, input_dir, cfg, max_files_per_trigger)
+    return (
+        ext.writeStream.foreachBatch(stats_batch_writer(spark, stats_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

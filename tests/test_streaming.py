@@ -319,3 +319,43 @@ def test_lineage_replay_inside_commit_window(spark, tmp_path):
     # regression pin: the manifest must never re-read the output dir
     src = inspect.getsource(extract_stream.lineage_batch_writer)
     assert "read.parquet(output_dir)" not in src
+
+def test_stream_stats_partials_merge_to_batch_histogram(spark, tmp_path):
+    """Mergeable sketch partials in streaming: two input drops flow
+    through the stats sink (one log2-histogram partial per microbatch);
+    the merged view must equal the histogram computed in ONE batch over
+    the same rows — the partial/merge identity (histsketch) holding
+    across microbatch boundaries, kill/resume included."""
+    from cvocr_spark.operators.histsketch import log2_histogram
+    from cvocr_spark.plans.job import extract_pages
+    from cvocr_spark.streaming import read_merged_stats, run_stream_with_stats
+
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = gen_pages_df(spark, docs).cache()
+    in_dir = str(tmp_path / "in")
+    stats_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages.filter("length(url) % 2 = 0").write.mode("overwrite").parquet(in_dir)
+    run_stream_with_stats(spark, in_dir, stats_dir, ckpt).awaitTermination(120)
+    # resume with the rest (the stream was 'killed' between drops)
+    pages.filter("length(url) % 2 = 1").write.mode("append").parquet(in_dir)
+    run_stream_with_stats(spark, in_dir, stats_dir, ckpt).awaitTermination(120)
+
+    merged = {
+        (r["grp"], r["bucket"]): r["n"]
+        for r in read_merged_stats(spark, stats_dir).collect()
+    }
+    batch = extract_pages(spark.read.parquet(in_dir), salted=False)
+    want = {
+        (r["grp"], r["bucket"]): r["n"]
+        for r in log2_histogram(
+            batch.select(F.col("flags").alias("g"), F.length("text").alias("v")),
+            "g",
+            "v",
+        ).collect()
+    }
+    assert merged == want and len(merged) > 0
+    pages.unpersist()
