@@ -61,8 +61,21 @@ def curate_corpus(
     script = _sc.script_profile(base).select("doc_id", "main_script")
 
     # 3. quality gates (over the ORIGINAL text: '<EMAIL>' tokens must
-    # not perturb quality statistics)
-    gates = _ts.corpus_filter(base).select("doc_id", "keep", "drop_reasons")
+    # not perturb quality statistics).  The manifest is anchored on the
+    # INPUT frame, not the gate frame: a NULL-text doc has no
+    # repetition-stats row on either engine (shingles of NULL are
+    # undefined), but it must still get a manifest decision —
+    # keep=false, reason 'no_text'.
+    gates = (
+        base.select("doc_id")
+        .join(_ts.corpus_filter(base).select("doc_id", "keep", "drop_reasons"),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keep", F.lit(False)).alias("keep"),
+            F.coalesce("drop_reasons", F.lit("no_text")).alias("drop_reasons"),
+        )
+    )
 
     # 4. dedup over quality survivors only.  survivors feeds THREE
     # consumers (pair pipeline, cluster resolution, keeper probe) —

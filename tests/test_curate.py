@@ -65,3 +65,37 @@ def test_curate_deterministic(spark):
     assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
         map(tuple, b), key=lambda t: t[0]
     )
+
+
+def test_curate_survives_nasty_corpus(spark):
+    """NULL/empty/degenerate texts through the WHOLE composed pipeline
+    — one bad row must not kill any stage (the ANSI stage-killer class
+    the r3/r4 sweeps hunt), and every input doc must still get a
+    manifest row with a decision."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, " "),
+        (4, "one"),
+        (5, "x" * 5000),
+        (6, "a normal looking document with several plain words in it "
+            "and enough of them to pass the shortness gate easily today ok"),
+        (7, "a normal looking document with several plain words in it "
+            "and enough of them to pass the shortness gate easily today ok"),  # dup of 6
+        (8, "!!! ??? ... ,,, ;;; :::"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = spark.createDataFrame(
+        [(900, "benchmark prompt that matches nothing in the corpus above")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(docs, ev).collect()}
+    assert set(out) == {r[0] for r in rows}
+    # the exact-duplicate pair resolves to one keeper
+    kept = [d for d in (6, 7) if out[d]["keep"]]
+    assert len(kept) == 1
+    dropped = 7 if kept == [6] else 6
+    assert out[dropped]["drop_reasons"] == "duplicate"
+    # degenerate docs carry their gate reasons, never crash
+    for d in (1, 2, 3, 4, 8):
+        assert not out[d]["keep"] and out[d]["drop_reasons"] != ""
