@@ -45,6 +45,15 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # catalog tables (the Spark-native bucketing path, tableio.py)
+        # land in a temp warehouse, never the repo working dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "cvocr_warehouse"),
+            ),
+        )
         .getOrCreate()
     )
 

@@ -204,3 +204,39 @@ def run_extraction(
         "out_dir": out_dir,
         "manifest_dir": manifest_dir,
     }
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, key: str = "url", n_buckets: int = 64
+) -> None:
+    """Spark-native BUCKETED catalog table: bucketBy(key) + sortBy(key)
+    + saveAsTable.  Two tables bucketed the same way join on `key`
+    WITHOUT any runtime exchange — the scan itself satisfies the join's
+    hashpartitioning requirement (pinned in tests/test_bucketed.py).
+    This is the steady-state layout of the 100-TB design: the salt is
+    paid ONCE at write time, so the recurring doc<->blocks joins,
+    per-url aggregations, and incremental-dedup probes all run
+    shuffle-free, with the runtime salted repartition (plans/job.py)
+    left as the ad-hoc fallback for unbucketed input.  The Iceberg
+    production analogue is `PARTITIONED BY (bucket(N, url))`; this is
+    the same contract through Spark's own catalog (the sandbox has no
+    Iceberg jars — the seam stays thin).
+
+    Robust to the torn-write case: a table whose CATALOG entry is gone
+    (session restart with an in-memory catalog, or a crashed write)
+    but whose LOCATION still holds files would make saveAsTable throw
+    LOCATION_ALREADY_EXISTS forever — drop the entry AND clear the
+    stale location first (Hadoop FS API: works on any cluster FS)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+    loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
