@@ -684,6 +684,44 @@ def dedup_clusters_verified_sql(corpus: str = "documents", threshold: float = 0.
     """
 
 
+def connected_components_incremental(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fold a NEW batch of pairs into an EXISTING clustering without
+    reprocessing historical edges — the growing-crawl shape for the
+    pairs->clusters stage (composes with dedup_incremental, which
+    produces exactly such cross-batch pairs).
+
+    The previous clustering is equivalent to its LABEL EDGES
+    (node -> label): min-label propagation over
+    ``new_pairs ∪ label_edges`` reaches the same fixpoint as a
+    from-scratch run over ``all_old_pairs ∪ new_pairs`` (each old
+    component is star-contracted to its root — one edge per node —
+    and any new pair touching it merges through the root).  Cost per
+    batch: O(n_nodes + n_new_pairs) edges through the iteration
+    instead of O(all pairs ever), and the star topology converges in
+    O(log) rounds regardless of the original components' shapes.
+    Equivalence to the from-scratch run is asserted in
+    tests/test_dedup.py.
+
+    Returns the updated full label frame (same shape as
+    ``connected_components``) — feed it back as ``prev_labels`` for
+    the next batch."""
+    label_edges = prev_labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("a"), F.col("label").alias("b")
+    )
+    merged = new_pairs.select("a", "b").unionByName(label_edges)
+    labels, _ = _connected_components_rounds(merged, checkpoint_dir=checkpoint_dir)
+    # nodes that were singletons before AND untouched by new pairs do
+    # not appear in any edge — restore them (label = own id)
+    singletons = prev_labels.select("node").join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("label", F.col("node"))
+    return labels.unionByName(singletons)
+
+
 # --------------------------------------------------------------------------
 # incremental dedup: new batch vs existing keeper index (VERDICT r2 item 4)
 # --------------------------------------------------------------------------

@@ -307,3 +307,40 @@ def test_corpus_filter_names_drop_reasons(spark):
     assert not rows[1]["keep"] and "repetitive" in rows[1]["drop_reasons"]
     assert not rows[2]["keep"] and "short" in rows[2]["drop_reasons"]
     assert rows[3]["keep"] and rows[3]["drop_reasons"] == ""
+
+
+def test_connected_components_incremental_equals_scratch(spark):
+    """Folding a new batch of pairs into an existing clustering via the
+    label-edge star contraction must reach the SAME fixpoint as a
+    from-scratch run over all pairs — including merges ACROSS old
+    components, chains through new nodes, and untouched singletons."""
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "a bigint, b bigint"
+    )
+    prev = dedup.connected_components(old_pairs)
+    # keep singleton 50 in the label frame (a doc known to the corpus
+    # but in no pair — connected_components only tracks edge nodes, so
+    # add it the way dedup_clusters would)
+    prev = prev.unionByName(
+        spark.createDataFrame([(50, 50)], "node bigint, label bigint")
+    )
+
+    # new batch: merges components {1,2,3} and {10,11} through a NEW
+    # node 99, plus a brand-new pair
+    new_pairs = spark.createDataFrame(
+        [(3, 99), (99, 11), (30, 31)], "a bigint, b bigint"
+    )
+    inc = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components_incremental(prev, new_pairs).collect()
+    }
+    scratch = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(
+            old_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    assert {k: v for k, v in inc.items() if k != 50} == scratch
+    assert inc[50] == 50  # untouched singleton survives
+    assert inc[1] == inc[11] == inc[99] == 1  # cross-component merge
+    assert inc[20] == 20 and inc[21] == 20  # untouched component intact
