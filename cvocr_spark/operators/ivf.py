@@ -60,13 +60,13 @@ N_PROBE = 2
 DIM = 64
 
 
-def _quantized_exploded(emb: DataFrame) -> DataFrame:
+def _quantized_exploded(emb: DataFrame, dim: int = DIM) -> DataFrame:
     """(vec_id, d, v): 0-based dimension index + milli-unit quantized
     value.  Per-scalar round() — no higher-order function anywhere.
     Ragged/NULL embeddings are dropped (same well-formed guard as
     similarity.with_bucket): a short vector would silently sum fewer
     distance terms and assign to a bogus list."""
-    emb = emb.filter(F.size("embedding") == DIM)
+    emb = emb.filter(F.size("embedding") == dim)
     return emb.select("vec_id", F.posexplode("embedding").alias("d", "x")).select(
         "vec_id",
         "d",
@@ -78,7 +78,9 @@ def _centroid_lit(centroid: list[int]):
     return F.expr("array(" + ", ".join(f"{v}L" for v in centroid) + ")")
 
 
-def assign_with_dists(emb: DataFrame, centroids: list[list[int]]) -> DataFrame:
+def assign_with_dists(
+    emb: DataFrame, centroids: list[list[int]], dim: int = DIM
+) -> DataFrame:
     """(vec_id, ds: array<bigint> of size k, cid): integer squared-L2
     to every centroid via k flat SUM aggregates (codegen; the shuffle
     carries one row of k longs per vector), then cid = argmin with
@@ -96,7 +98,7 @@ def assign_with_dists(emb: DataFrame, centroids: list[list[int]]) -> DataFrame:
     |v|^2 - 2v.c + |c|^2 form), asserted equal in tests/test_ann.py,
     with cost O(n*k*dim/batch) in vectorized C instead of k generated
     expressions."""
-    ex = _quantized_exploded(emb)
+    ex = _quantized_exploded(emb, dim)
     aggs = []
     for j, c in enumerate(centroids):
         diff = F.col("v") - F.element_at(_centroid_lit(c), F.col("d") + 1)
@@ -153,14 +155,14 @@ def assign_with_dists_numpy(emb: DataFrame, centroids: list[list[int]]) -> DataF
     return vq.mapInPandas(_assign, schema="vec_id bigint, ds array<bigint>, cid int")
 
 
-def _train(emb: DataFrame, k: int, iters: int) -> list[list[int]]:
+def _train(emb: DataFrame, k: int, iters: int, dim: int = DIM) -> list[list[int]]:
     """Fixed-iteration Lloyd on the quantized vectors; returns the k
     trained centroids.  Every driver collect here is O(k) rows (seed
     ids, k x dim centroid stats) — bounded like the LSH plane literals.
     The exploded frame is persisted for the iteration loop and
     UNPERSISTED before returning (ADVICE r2: the old form leaked a
     cached frame per call)."""
-    ex = _quantized_exploded(emb).persist()
+    ex = _quantized_exploded(emb, dim).persist()
     try:
         h = P.hash60_spark("cast(vec_id as string)", "ivf")
         seed_ids = [
@@ -179,7 +181,7 @@ def _train(emb: DataFrame, k: int, iters: int) -> list[list[int]]:
             [by_vec[vid][d] for d in range(dim)] for vid in seed_ids
         ]
         for _ in range(iters):
-            cids = assign_with_dists(emb, centroids).select("vec_id", "cid")
+            cids = assign_with_dists(emb, centroids, dim).select("vec_id", "cid")
             stats = (
                 ex.join(cids, "vec_id")
                 .groupBy("cid", "d")

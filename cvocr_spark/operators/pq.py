@@ -1,0 +1,170 @@
+"""Product quantization (PQ) ANN — the compression layer a
+crawl-scale similarity index actually ships: each vector is stored as
+M sub-codes (here 8 codes of 4 bits-worth each = 8 bytes instead of
+256), and search scores candidates by Asymmetric Distance Computation
+(ADC): the query precomputes one distance-lookup table per subspace
+and a candidate's score is the SUM of M table lookups — no float math
+per candidate at all.
+
+Everything stays in the repo's exact-integer framework:
+
+  * codebooks train per subspace with the SAME deterministic
+    fixed-iteration Lloyd as the IVF coarse quantizer (ivf._train,
+    generalized over dim) on milli-quantized subvectors — integer
+    centroids, bit-reproducible;
+  * encoding = per-subspace nearest-centroid assignment (the flat
+    codegen form, ivf.assign_with_dists);
+  * ADC tables are exact integer squared-L2 values computed on the
+    driver from the collected query vectors (bounded: n_queries x M x
+    K ints) and joined as a BROADCAST frame onto the exploded code
+    table — flat HashAggregate SUM, no HOFs, no per-candidate Python;
+  * the standard two-stage retrieval: ADC shortlist (cheap, code-only)
+    -> exact integer-cosine RERANK of the shortlist (qcosine_expr, the
+    same scoring the oracled numpy ANN uses).
+
+The ADC score is EXACTLY the squared-L2 reconstruction distance
+sum_m ||q_m - codebook[m][code_m]||^2 — asserted value-for-value
+against a Python recomputation in tests/test_pq.py, along with
+determinism and recall (recorded in tests/goldens/ann_recall.json).
+
+Scale notes: the demo trains M codebooks as M sequential small jobs
+(disclosed; a production build fuses them into one pass keyed by
+(vec_id, sub)); search cost is O(corpus x M) exploded rows through one
+broadcast join + sum — at 10^12 vectors this composes with the IVF
+router (probe lists first, ADC within probed lists), which is the
+standard IVF-PQ layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from . import ivf
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = ivf.DIM // PQ_M
+PQ_K = 16  # codes per subspace
+PQ_ITERS = 2
+RERANK = 100  # ADC shortlist size fed to the exact rerank
+
+
+def _sub_emb(emb: DataFrame, m: int) -> DataFrame:
+    return emb.filter(F.size("embedding") == ivf.DIM).select(
+        "vec_id",
+        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("embedding"),
+    )
+
+
+def train_codebooks(emb: DataFrame) -> list[list[list[int]]]:
+    """[m][k][subdim] integer centroids, deterministic per subspace."""
+    return [
+        ivf._train(_sub_emb(emb, m), PQ_K, PQ_ITERS, dim=PQ_SUBDIM)
+        for m in range(PQ_M)
+    ]
+
+
+def encode(emb: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """(vec_id, codes array<int> of length M): per-subspace nearest
+    centroid, ties -> smallest code (the assign_with_dists tie-break)."""
+    out = None
+    for m, book in enumerate(books):
+        cm = ivf.assign_with_dists(_sub_emb(emb, m), book, dim=PQ_SUBDIM).select(
+            "vec_id", F.col("cid").alias(f"c{m}")
+        )
+        out = cm if out is None else out.join(cm, "vec_id")
+    return out.select(
+        "vec_id", F.array(*[F.col(f"c{m}") for m in range(PQ_M)]).alias("codes")
+    )
+
+
+def _adc_tables(emb: DataFrame, books, n_queries: int):
+    """Driver-side exact integer LUTs: rows (query_id, sub, code, d).
+    Bounded at n_queries x M x K."""
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .filter(F.size("embedding") == ivf.DIM)
+        .select("vec_id", F.expr(P.quantize_spark("embedding")).alias("q"))
+        .collect()
+    )
+    rows = []
+    for r in qrows:
+        q = r["q"]
+        for m, book in enumerate(books):
+            sub = q[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            for code, cent in enumerate(book):
+                d = sum((a - b) * (a - b) for a, b in zip(sub, cent))
+                rows.append((r["vec_id"], m, code, d))
+    return rows
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    rerank: int | None = RERANK,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rn): ADC shortlist of ``rerank``
+    candidates per query, exact integer-cosine rerank, top-k.  With
+    ``rerank=None`` the raw ADC ranking is returned (sim = negative
+    ADC distance — useful for the score-identity test)."""
+    spark = emb.sparkSession
+    books = train_codebooks(emb)
+    codes = encode(emb, books)
+    lut = spark.createDataFrame(
+        _adc_tables(emb, books, n_queries),
+        "query_id bigint, sub int, code int, d bigint",
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    if rerank is None:
+        return (
+            adc.withColumn("rn", F.row_number().over(w_adc).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", F.col("adc").alias("sim"), "rn")
+        )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: integer-quantized cosine (the oracled numpy-ANN
+    # scoring) over shortlist members only
+    vq = emb.filter(F.size("embedding") == ivf.DIM).select(
+        "vec_id", F.expr(P.quantize_spark("embedding")).alias("q")
+    )
+    nq = vq.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("nv"),
+        F.expr(
+            "aggregate(q, 0L, (acc, x) -> acc + x * x)"
+        ).alias("nn"),
+    )
+    qq = vq.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").alias("qn"),
+    )
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    scored = (
+        shortlist.join(nq, "neighbor_id")
+        .join(F.broadcast(qq), "query_id")
+        .withColumn("sim", F.round(F.expr(P.qcosine_expr(dot, "qn", "nn")), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("sim"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )

@@ -1,0 +1,93 @@
+"""Product quantization: ADC score identity (== exact integer
+reconstruction distance), determinism, self-hit under rerank, recall
+recorded beside the other ANN operating points."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvocr_spark.operators import pq  # noqa: E402
+from cvocr_spark.operators.similarity import cosine_topk  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_adc_equals_reconstruction_distance(spark):
+    """The ADC sum of table lookups must equal the exact integer
+    squared-L2 reconstruction distance sum_m ||q_m - c[m][code_m]||^2,
+    recomputed independently in Python from the codes + codebooks."""
+    from pyspark.sql import functions as F
+
+    from cvocr_spark.functions import portable as P
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq.train_codebooks(emb)
+    codes = {
+        r["vec_id"]: r["codes"] for r in pq.encode(emb, books).limit(2000).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in pq.pq_adc_topk(emb, n_queries=3, k=10, rerank=None).collect()
+    }
+    q = {
+        r["vec_id"]: r["q"]
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", F.expr(P.quantize_spark("embedding")).alias("q"))
+        .collect()
+    }
+    assert adc
+    for (qid, nid), got in adc.items():
+        want = 0
+        for m in range(pq.PQ_M):
+            sub = q[qid][m * pq.PQ_SUBDIM : (m + 1) * pq.PQ_SUBDIM]
+            cent = books[m][codes[nid][m]]
+            want += sum((a - b) * (a - b) for a, b in zip(sub, cent))
+        assert got == want, (qid, nid, got, want)
+
+
+def test_pq_deterministic_and_self_hit(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(map(tuple, pq.pq_adc_topk(emb, n_queries=5, k=5).collect()))
+    b = sorted(map(tuple, pq.pq_adc_topk(emb, n_queries=5, k=5).collect()))
+    assert a == b and a
+    by_q = {}
+    for qid, nid, _sim, _rn in a:
+        by_q.setdefault(qid, set()).add(nid)
+    for qid, nids in by_q.items():
+        assert qid in nids, f"query {qid} lost itself after ADC+rerank"
+
+
+def test_pq_recall_recorded(spark):
+    """Recall@5 vs the exact baseline, ADC-only and ADC+rerank —
+    rerank must not hurt; both recorded in ann_recall.json beside the
+    LSH/IVF operating points (the near-uniform-embedding caveat there
+    applies doubly to a 16-code product quantizer)."""
+    import json
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    nq, k = 20, 5
+    exact = {}
+    for r in cosine_topk(emb, n_queries=nq, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r_adc = recall(pq.pq_adc_topk(emb, n_queries=nq, k=k, rerank=None).collect())
+    r_rr = recall(pq.pq_adc_topk(emb, n_queries=nq, k=k).collect())
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "goldens", "ann_recall.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["recall_pq_adc"] = round(r_adc, 4)
+    data["recall_pq_rerank100"] = round(r_rr, 4)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    assert r_rr >= r_adc - 1e-9, (r_adc, r_rr)
+    assert r_rr >= 0.3, f"PQ+rerank recall collapsed: {r_rr}"
