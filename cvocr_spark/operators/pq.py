@@ -168,3 +168,93 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_probe: int = ivf.N_PROBE,
+    rerank: int | None = RERANK,
+) -> DataFrame:
+    """The composed IVF-PQ layout — the standard crawl-scale index:
+    the IVF coarse quantizer routes each query to its n_probe nearest
+    lists, and ADC scores ONLY the codes living in probed lists (at
+    10^12 rows: n_probe/k of the corpus through 8 table lookups each),
+    then the exact rerank runs over the shortlist as in pq_adc_topk.
+
+    Candidate restriction is a LEFT SEMI join of the code table
+    against the probed (query_id, cid) pairs via each vector's own
+    coarse assignment — broadcast (bounded by n_queries x n_probe
+    routing rows joined through the corpus assignment), so the code
+    table never shuffles.  Recall sits between raw ADC and full-corpus
+    ADC+rerank at a fraction of the scored candidates
+    (tests/test_pq.py records the measured point)."""
+    spark = emb.sparkSession
+    centroids = ivf._train(emb, ivf.IVF_K, ivf.IVF_ITERS)
+    assigned = ivf.assign_with_dists(emb, centroids).select("vec_id", "ds", "cid")
+    # per-query probe list from the query rows' own distance arrays
+    probe = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.posexplode("ds").alias("cid", "dist"))
+        .withColumn(
+            "pr",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cid")
+    )
+    books = train_codebooks(emb)
+    codes = encode(emb, books).join(assigned.select("vec_id", "cid"), "vec_id")
+    lut = spark.createDataFrame(
+        _adc_tables(emb, books, n_queries),
+        "query_id bigint, sub int, code int, d bigint",
+    )
+    # candidates: (query, vector) pairs whose list is probed BY that query
+    cand = codes.join(F.broadcast(probe), "cid").select(
+        "query_id", "vec_id", "codes"
+    )
+    adc = (
+        cand.select("query_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= (rerank or k))
+        .select("query_id", "neighbor_id")
+    )
+    if rerank is None:
+        return (
+            adc.withColumn("rn", F.row_number().over(w_adc).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", F.col("adc").alias("sim"), "rn")
+        )
+    vq = emb.filter(F.size("embedding") == ivf.DIM).select(
+        "vec_id", F.expr(P.quantize_spark("embedding")).alias("q")
+    )
+    nq = vq.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("nv"),
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").alias("nn"),
+    )
+    qq = vq.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").alias("qn"),
+    )
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    scored = (
+        shortlist.join(nq, "neighbor_id")
+        .join(F.broadcast(qq), "query_id")
+        .withColumn("sim", F.round(F.expr(P.qcosine_expr(dot, "qn", "nn")), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc_nulls_last("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )

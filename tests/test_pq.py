@@ -91,3 +91,34 @@ def test_pq_recall_recorded(spark):
         json.dump(data, f, indent=1)
     assert r_rr >= r_adc - 1e-9, (r_adc, r_rr)
     assert r_rr >= 0.3, f"PQ+rerank recall collapsed: {r_rr}"
+
+
+def test_ivfpq_self_hit_and_recall_recorded(spark):
+    """The composed IVF-PQ layout: each query finds itself (its own
+    list is always probed, its own code is its nearest reconstruction,
+    the exact rerank then pins it), and recall lands in
+    ann_recall.json beside the single-stage points."""
+    import json
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    nq, k = 20, 5
+    rows = pq.ivfpq_topk(emb, n_queries=nq, k=k, n_probe=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(by_q) == nq
+    for qid, nids in by_q.items():
+        assert qid in nids, f"query {qid} lost itself in IVF-PQ"
+
+    exact = {}
+    for r in cosine_topk(emb, n_queries=nq, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & by_q.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "goldens", "ann_recall.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["recall_ivfpq_nprobe4_rerank100"] = round(recall, 4)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
