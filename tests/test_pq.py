@@ -122,3 +122,12 @@ def test_ivfpq_self_hit_and_recall_recorded(spark):
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
+
+
+def test_fused_training_identical_to_per_subspace(spark):
+    """The one-job-per-step fused training must produce LIST-IDENTICAL
+    codebooks to the M-sequential-jobs reference form (same seeds per
+    subspace — the seed rule hashes vec_ids only — same integer Lloyd
+    arithmetic)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert pq.train_codebooks_fused(emb) == pq.train_codebooks(emb)
