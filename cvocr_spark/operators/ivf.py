@@ -165,9 +165,14 @@ def _train(emb: DataFrame, k: int, iters: int, dim: int = DIM) -> list[list[int]
     ex = _quantized_exploded(emb, dim).persist()
     try:
         h = P.hash60_spark("cast(vec_id as string)", "ivf")
+        # seed from WELL-FORMED vectors only: a ragged/NULL embedding
+        # picked as a seed has no quantized rows, and the centroid
+        # build would KeyError (found by the r4 PQ degenerate sweep —
+        # the earlier ANN sweep got lucky with k=2 seed draws)
         seed_ids = [
             r["vec_id"]
-            for r in emb.select("vec_id", F.expr(h).alias("h"))
+            for r in emb.filter(F.size("embedding") == dim)
+            .select("vec_id", F.expr(h).alias("h"))
             .orderBy("h", "vec_id")
             .limit(k)
             .collect()
@@ -192,7 +197,10 @@ def _train(emb: DataFrame, k: int, iters: int, dim: int = DIM) -> list[list[int]
             for r in stats:
                 by_cid.setdefault(r["cid"], {})[r["d"]] = (r["s"], r["n"])
             new_centroids = []
-            for cid in range(k):
+            # len(centroids), not k: a corpus smaller than k yields
+            # fewer seeds, and range(k) would index past the list (a
+            # tiny-shard crash found by the r4 PQ degenerate sweep)
+            for cid in range(len(centroids)):
                 if cid in by_cid:
                     dims = by_cid[cid]
                     new_centroids.append(

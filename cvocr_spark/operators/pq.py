@@ -100,6 +100,10 @@ def train_codebooks_fused(emb: DataFrame) -> list[list[list[int]]]:
         by_vec: dict[tuple[int, int], dict[int, int]] = {}
         for r in seed_rows:
             by_vec.setdefault((r["vec_id"], r["sub"]), {})[r["dsub"]] = r["v"]
+        # a corpus smaller than PQ_K (tiny shard, cold-start crawl)
+        # yields fewer seeds — train with the effective K, exactly as
+        # the per-subspace form does (limit(k) returns what exists)
+        k_eff = len(seed_ids)
         books = [
             [
                 [by_vec[(sid, m)][d] for d in range(PQ_SUBDIM)]
@@ -109,12 +113,12 @@ def train_codebooks_fused(emb: DataFrame) -> list[list[list[int]]]:
         ]
         for _ in range(PQ_ITERS):
             flat = [
-                v for m in range(PQ_M) for j in range(PQ_K) for v in books[m][j]
+                v for m in range(PQ_M) for j in range(k_eff) for v in books[m][j]
             ]
             lit = "array(" + ", ".join(f"{v}L" for v in flat) + ")"
-            idx_base = F.col("sub") * (PQ_K * PQ_SUBDIM) + F.col("dsub") + 1
+            idx_base = F.col("sub") * (k_eff * PQ_SUBDIM) + F.col("dsub") + 1
             aggs = []
-            for j in range(PQ_K):
+            for j in range(k_eff):
                 diff = F.col("v") - F.element_at(
                     F.expr(lit), idx_base + j * PQ_SUBDIM
                 )
@@ -126,9 +130,9 @@ def train_codebooks_fused(emb: DataFrame) -> list[list[list[int]]]:
                 F.expr(
                     "cast(array_position("
                     + "array("
-                    + ", ".join(f"ds{j}" for j in range(PQ_K))
+                    + ", ".join(f"ds{j}" for j in range(k_eff))
                     + "), array_min(array("
-                    + ", ".join(f"ds{j}" for j in range(PQ_K))
+                    + ", ".join(f"ds{j}" for j in range(k_eff))
                     + "))) - 1 as int)"
                 ).alias("cid"),
             )
@@ -147,7 +151,7 @@ def train_codebooks_fused(emb: DataFrame) -> list[list[list[int]]]:
             new_books = []
             for m in range(PQ_M):
                 nb = []
-                for j in range(PQ_K):
+                for j in range(k_eff):
                     dims = by_key.get((m, j))
                     if dims:
                         nb.append(

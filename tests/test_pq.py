@@ -131,3 +131,25 @@ def test_fused_training_identical_to_per_subspace(spark):
     arithmetic)."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     assert pq.train_codebooks_fused(emb) == pq.train_codebooks(emb)
+
+
+def test_pq_survives_degenerate_vectors(spark):
+    """Ragged/NULL/zero embeddings through training, encoding, and both
+    search paths — the one-bad-row ANSI stage-killer sweep applied to
+    the PQ family (well-formed guard drops them; zero vectors rank via
+    NULL sim, last)."""
+    from cvocr_spark.operators.ivf import DIM
+
+    rows = [(i, [0.01 * (i + d % 7) for d in range(DIM)]) for i in range(8)]
+    rows += [(8, None), (9, [0.1] * 10), (10, [0.0] * DIM)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    books = pq.train_codebooks_fused(emb)
+    # 9 well-formed vectors < PQ_K seeds -> effective-K codebooks
+    assert len(books) == pq.PQ_M and all(len(b) == 9 for b in books)
+    assert books == pq.train_codebooks(emb)  # both forms agree on k_eff
+    codes = pq.encode(emb, books).collect()
+    assert {r["vec_id"] for r in codes} == set(range(8)) | {10}
+    out = pq.pq_adc_topk(emb, n_queries=3, k=3, rerank=5).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    out2 = pq.ivfpq_topk(emb, n_queries=2, k=2, n_probe=2, rerank=5).collect()
+    assert {r["query_id"] for r in out2} == {0, 1}
