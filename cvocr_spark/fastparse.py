@@ -77,19 +77,35 @@ def _is_hidden(low: str) -> bool:
     return False
 
 
+def _class_id_values(raw_attrs: str) -> list[str]:
+    """class/id attr VALUES from the raw (still-escaped) attr string.
+    Tokenize FIRST with _ATTR_RE, entity-decode each value AFTER —
+    the same order HTMLParser uses (structure is parsed before values
+    decode), so an entity that decodes to a quote
+    (class="x&quot;newsletter") can never change attribute
+    tokenization and diverge from kernel._Segmenter (ADVICE r4).
+    Exactly one decode per value: a second unescape would itself
+    diverge (&amp;#108; must stay the literal &#108;)."""
+    vals = []
+    for name, v in _ATTR_RE.findall(raw_attrs):
+        if v and name.lower() in ("class", "id"):
+            v = v.strip("\"'")
+            vals.append(unescape(v) if "&" in v else v)
+    return vals
+
+
 def _boiler_class_attrs(raw_attrs: str) -> bool:
     """True iff class/id carries a chrome keyword TOKEN (kernel.
-    _BOILER_CLASS_TOKENS).  Attr values are entity-decoded first —
-    HTMLParser hands its callbacks decoded values, and the boiler
-    decision must be byte-identical between the two segmenters
-    (class="news&#108;etter" IS class="newsletter"); the memo above
-    makes the unescape cost one-time per unique attr string."""
-    vals = [
-        v.strip("\"'")
-        for name, v in _ATTR_RE.findall(raw_attrs.lower())
-        if name in ("class", "id") and v
-    ]
-    return bool(vals) and _has_boiler_class(vals)
+    _BOILER_CLASS_TOKENS).  The hint pre-gate runs per DECODED value
+    (class="news&#108;etter" IS class="newsletter"), mirroring the
+    kernel's per-value hint-then-token check; the memo in
+    _boiler_cached makes decode + scan one-time per unique string."""
+    vals = _class_id_values(raw_attrs)
+    return (
+        bool(vals)
+        and any(_BOILER_HINT_RE.search(v) for v in vals)
+        and _has_boiler_class(vals)
+    )
 
 
 # memo: attr-string -> boiler decision.  Chrome attr strings repeat
@@ -108,13 +124,7 @@ def _boiler_cached(attrs: str) -> bool:
     if got is None:
         if len(_BOILER_MEMO) >= _BOILER_MEMO_MAX:
             _BOILER_MEMO.clear()
-        # entity-decode EXACTLY ONCE before the hint and the token
-        # check: HTMLParser hands its callbacks decoded attr values
-        # (class="news&#108;etter" IS class="newsletter"), and a second
-        # unescape would itself diverge (&amp;#108; must stay &#108;).
-        # Memoized, so the decode costs one-time per unique attr string.
-        probe = unescape(attrs) if "&" in attrs else attrs
-        got = bool(_BOILER_HINT_RE.search(probe)) and _boiler_class_attrs(probe)
+        got = _boiler_class_attrs(attrs)
         _BOILER_MEMO[attrs] = got
     return got
 

@@ -56,9 +56,15 @@ def stratified_sample(
     a deterministic per-class quota (class-balanced training splits,
     per-domain eval slices).  Hash order is uniform within each group,
     so the quota is an unbiased without-replacement draw; ties broken
-    by the key itself for full determinism."""
+    by the key itself for full determinism.  NULL keys hash to NULL
+    and sort LAST — explicitly, on BOTH engines: Spark's ASC default
+    is NULLS FIRST while DuckDB's is NULLS LAST, so an implicit order
+    would fill a group's quota with different rows cross-engine
+    whenever a NULL sampling key exists (ADVICE r4)."""
     h = F.expr(P.hash60_spark(f"cast({key} as string)", seed))
-    w = Window.partitionBy(group_col).orderBy(h, F.col(key))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc_nulls_last(), F.col(key).asc_nulls_last()
+    )
     return (
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_per_group)
@@ -73,7 +79,8 @@ def stratified_sample_sql(
     return f"""
     SELECT * EXCLUDE (rn) FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY {group_col} ORDER BY {h}, {key}) AS rn
+        PARTITION BY {group_col}
+        ORDER BY {h} NULLS LAST, {key} NULLS LAST) AS rn
       FROM {table}
     ) WHERE rn <= {n_per_group}
     """

@@ -41,31 +41,35 @@ _SCRIPTS = (
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """(doc_id, scrubbed, n_email, n_ip, n_phone): redact in a fixed
     order (emails first — an email never survives to be half-eaten by
-    the ip pattern) and count what was redacted; NULL text propagates."""
-    out = docs.select("doc_id", F.col("text").alias("scrubbed"))
+    the ip pattern) and count what was redacted; NULL text propagates.
+
+    Each pattern is counted on the text AS IT STANDS after the
+    preceding replacements (the count expressions mirror the
+    sequential regexp_replace chain), so overlapping PII — an
+    IPv4-shaped run inside an email the email pass already swallowed —
+    is counted exactly once: sum(n_*) == number of replacement tokens
+    in `scrubbed` (ADVICE r4; pinned cross-engine in test_scrub.py)."""
+    cur = F.col("text")
     counts = []
-    for name, pat, _tok in _SCRUBS:
+    for name, pat, tok in _SCRUBS:
         counts.append(
-            F.size(F.regexp_extract_all("scrubbed", F.lit(pat), 0)).alias(f"n_{name}")
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}")
         )
-    out = out.select("doc_id", "scrubbed", *counts)
-    scrubbed = F.col("scrubbed")
-    for _name, pat, tok in _SCRUBS:
-        scrubbed = F.regexp_replace(scrubbed, pat, tok)
-    return out.select(
-        "doc_id", scrubbed.alias("scrubbed"), "n_email", "n_ip", "n_phone"
+        cur = F.regexp_replace(cur, pat, tok)
+    return docs.select(
+        "doc_id", cur.alias("scrubbed"), *counts
     )
 
 
 def pii_scrub_sql(table: str = "documents") -> str:
-    scrub = "text"
-    for _name, pat, tok in _SCRUBS:
-        scrub = f"regexp_replace({scrub}, '{pat}', '{tok}', 'g')"
-    counts = ", ".join(
-        f"cast(len(regexp_extract_all(text, '{pat}')) as int) AS n_{name}"
-        for name, pat, _tok in _SCRUBS
-    )
-    return f"SELECT doc_id, {scrub} AS scrubbed, {counts} FROM {table}"
+    cur = "text"
+    counts = []
+    for name, pat, tok in _SCRUBS:
+        counts.append(
+            f"cast(len(regexp_extract_all({cur}, '{pat}')) as int) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{tok}', 'g')"
+    return f"SELECT doc_id, {cur} AS scrubbed, {', '.join(counts)} FROM {table}"
 
 
 def script_profile(docs: DataFrame) -> DataFrame:

@@ -53,6 +53,14 @@ def curate_corpus(
     ``keep`` is the FINAL decision: passed every quality gate AND is
     its cluster's keeper AND is not contaminated.  Dropped docs stay in
     the manifest with their reasons — the audit surface.
+
+    CACHING CONTRACT (ADVICE r4): the returned frame references a
+    persisted intermediate (the quality survivors — three consumers).
+    Call ``release(manifest)`` once the manifest has been materialized
+    (written / collected); otherwise each curate_corpus call leaks one
+    cached frame for the session's life — the same leak class ADVICE
+    r2 flagged for ivf._train.  run_curation_job.py and the contract
+    query both do this.
     """
     base = docs.select("doc_id", "text")
 
@@ -115,7 +123,7 @@ def curate_corpus(
         & F.coalesce("is_keeper", F.lit(False))
         & ~F.coalesce("is_contaminated", F.lit(True))
     )
-    return out.select(
+    manifest = out.select(
         "doc_id",
         final_keep.alias("keep"),
         F.when(F.col("drop_reasons") != "", F.col("drop_reasons"))
@@ -133,3 +141,17 @@ def curate_corpus(
         "n_phone",
         "scrubbed",
     )
+    # stash the persisted intermediate for release() — a plain python
+    # attribute on the returned frame; never serialized, purely a
+    # driver-side unpersist handle
+    manifest._curate_cached = [survivors]  # type: ignore[attr-defined]
+    return manifest
+
+
+def release(manifest: DataFrame) -> None:
+    """Unpersist the cached intermediates behind a curate_corpus
+    manifest.  Call AFTER materializing (write/collect) — the manifest
+    plan references the cached survivors frame lazily, so releasing
+    first would just silently recompute the gate pipelines thrice."""
+    for df in getattr(manifest, "_curate_cached", []):
+        df.unpersist()

@@ -226,12 +226,33 @@ def write_bucketed_table(
     (session restart with an in-memory catalog, or a crashed write)
     but whose LOCATION still holds files would make saveAsTable throw
     LOCATION_ALREADY_EXISTS forever — drop the entry AND clear the
-    stale location first (Hadoop FS API: works on any cluster FS)."""
+    stale location first (Hadoop FS API: works on any cluster FS).
+    The location comes from the CATALOG when the entry exists (ADVICE
+    r4: a name-derived path is wrong for qualified names — db.tbl
+    lives at {warehouse}/{db}.db/{tbl} — and deleting a guessed path
+    both misses the real stale dir and risks clobbering an unrelated
+    one); only when the entry is already gone does the default-db
+    derivation apply, with the {db}.db segment handled."""
     spark = df.sparkSession
+    loc_uri = None
+    try:
+        if spark.catalog.tableExists(table):
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                if r["col_name"] == "Location":
+                    loc_uri = r["data_type"]
+                    break
+    except Exception:
+        loc_uri = None  # corrupt/uncooperative entry: fall through to derivation
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if loc_uri is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        parts = table.lower().split(".")
+        if len(parts) == 2 and parts[0] != "default":
+            loc_uri = f"{warehouse}/{parts[0]}.db/{parts[1]}"
+        else:
+            loc_uri = f"{warehouse}/{parts[-1]}"
     jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+    loc = jvm.org.apache.hadoop.fs.Path(loc_uri)
     loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
     (
         df.write.mode("overwrite")

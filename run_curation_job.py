@@ -24,7 +24,7 @@ def main() -> None:
     inp, out = sys.argv[1], sys.argv[2]
     eval_dir = sys.argv[3] if len(sys.argv) > 3 else None
 
-    from cvocr_spark.plans.curate import curate_corpus
+    from cvocr_spark.plans.curate import curate_corpus, release
     from cvocr_spark.session import ensure_shipped
 
     spark = SparkSession.builder.appName("cvocr-curate").getOrCreate()
@@ -33,6 +33,7 @@ def main() -> None:
     ev = spark.read.parquet(eval_dir) if eval_dir else None
     manifest = curate_corpus(docs, ev)
     manifest.write.mode("overwrite").parquet(out)
+    release(manifest)  # drop the cached survivors frame (see curate.py)
     kept = spark.read.parquet(out).filter("keep").count()
     total = spark.read.parquet(out).count()
     print({"total": total, "kept": kept})

@@ -59,3 +59,43 @@ def test_bucketed_join_and_agg_have_no_exchange(spark):
 
     spark.sql("DROP TABLE IF EXISTS t_docs_b")
     spark.sql("DROP TABLE IF EXISTS t_blocks_b")
+
+
+def test_bucketed_qualified_name_and_torn_location(spark):
+    """ADVICE r4: for a db-qualified table the stale-location recovery
+    must resolve {warehouse}/{db}.db/{tbl} (via the catalog when the
+    entry exists), not {warehouse}/{db}.{tbl} — a torn write (files on
+    disk, catalog entry dropped) must rewrite cleanly, not throw
+    LOCATION_ALREADY_EXISTS."""
+    import shutil
+    from urllib.parse import urlparse
+
+    df = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(20)], "url string, v int"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS qdb")
+    try:
+        write_bucketed_table(df, "qdb.t_q", "url", 4)
+        assert spark.table("qdb.t_q").count() == 20
+
+        # rewrite while the catalog entry EXISTS: location from catalog
+        write_bucketed_table(df, "qdb.t_q", "url", 4)
+        assert spark.table("qdb.t_q").count() == 20
+
+        # torn case: catalog entry gone, location files still present
+        loc = next(
+            r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED qdb.t_q").collect()
+            if r["col_name"] == "Location"
+        )
+        path = urlparse(loc).path
+        spark.sql("DROP TABLE qdb.t_q")
+        os.makedirs(path, exist_ok=True)  # stale files at the REAL location
+        with open(os.path.join(path, "stale.parquet"), "w") as f:
+            f.write("x")
+        write_bucketed_table(df, "qdb.t_q", "url", 4)  # must self-heal
+        assert spark.table("qdb.t_q").count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qdb.t_q")
+        spark.sql("DROP DATABASE IF EXISTS qdb")
+        shutil.rmtree("/tmp/qdb.db", ignore_errors=True)

@@ -9,7 +9,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cvocr_spark.operators import dedup  # noqa: E402
-from cvocr_spark.plans.curate import curate_corpus  # noqa: E402
+from cvocr_spark.plans.curate import curate_corpus, release  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -25,7 +25,10 @@ def _manifest(spark):
          (9002, "completely unrelated benchmark prompt about orbital mechanics")],
         "doc_id bigint, text string",
     )
-    return docs, curate_corpus(docs, ev).collect()
+    m = curate_corpus(docs, ev)
+    rows = m.collect()
+    release(m)  # ADVICE r4: drop the cached survivors after materializing
+    return docs, rows
 
 
 def test_curate_manifest_complete_and_consistent(spark):
@@ -89,7 +92,9 @@ def test_curate_survives_nasty_corpus(spark):
         [(900, "benchmark prompt that matches nothing in the corpus above")],
         "doc_id bigint, text string",
     )
-    out = {r["doc_id"]: r for r in curate_corpus(docs, ev).collect()}
+    m = curate_corpus(docs, ev)
+    out = {r["doc_id"]: r for r in m.collect()}
+    release(m)
     assert set(out) == {r[0] for r in rows}
     # the exact-duplicate pair resolves to one keeper
     kept = [d for d in (6, 7) if out[d]["keep"]]
@@ -99,3 +104,19 @@ def test_curate_survives_nasty_corpus(spark):
     # degenerate docs carry their gate reasons, never crash
     for d in (1, 2, 3, 4, 8):
         assert not out[d]["keep"] and out[d]["drop_reasons"] != ""
+
+
+def test_curate_release_unpersists(spark):
+    """ADVICE r4: release() must actually drop the cached survivors —
+    the per-call cached-frame leak class."""
+    docs = spark.createDataFrame(
+        [(1, "plain words repeated enough to pass every quality gate in "
+             "this small corpus with several more distinct tokens today ok")],
+        "doc_id bigint, text string",
+    )
+    m = curate_corpus(docs, None)
+    m.collect()
+    cached = m._curate_cached
+    assert cached and all(df.storageLevel.useMemory for df in cached)
+    release(m)
+    assert all(not df.storageLevel.useMemory for df in cached)

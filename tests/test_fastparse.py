@@ -66,6 +66,15 @@ def test_fast_handles_edge_markup():
         b"<script>x</script foo='bar'> leaked? no</script><p>trailing real content here ok</p>",
         b"<SCRIPT>y</ScRiPt><p>case-insensitive close with real content long enough here</p>",
         b"<script>z</script ><p>whitespace before gt with real content long enough here</p>",
+        # ADVICE r4 (low): a quote ENTITY inside a class value must not
+        # change attribute tokenization (parse first, decode values
+        # after — HTMLParser order); and an entity-encoded boiler token
+        # must still be recognized after per-value decode
+        b'<div class="x&quot;newsletter">subscribe now to our letter</div>'
+        b"<p>real content that is long enough to pass the keep rule today ok</p>",
+        b'<div class="news&#108;etter">subscribe now to our daily letter</div>'
+        b"<p>real content that is long enough to pass the keep rule today ok</p>",
+        b'<div class="x" &quot;newsletter&quot;><p>attr soup with real content long enough</p></div>',
     ]
     for c in cases:
         _same(c)

@@ -90,3 +90,35 @@ def test_sampling_null_keys(spark):
     assert {r["doc_id"] for r in kept} == {1, 3}
     split = {r["doc_id"]: r["split"] for r in sampling.split_train_eval(df, "k", 50.0).collect()}
     assert split[2] == "train" and len(split) == 3
+
+
+def test_stratified_sample_null_key_cross_engine(spark):
+    """ADVICE r4: a NULL sampling key hashes to NULL, which Spark's ASC
+    default ranks FIRST and DuckDB's ranks LAST — with implicit
+    ordering the per-group quota picks different rows cross-engine.
+    Both sides now pin NULLS LAST; the NULL-key row fills a quota slot
+    only when its group has no non-NULL competitors left."""
+    import duckdb
+
+    rows = [(1, "g1", "a"), (2, "g1", None), (3, "g1", "b"), (4, "g1", "c"),
+            (5, "g2", None), (6, "g2", "d"),
+            (7, "g3", None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, k string")
+    got = {
+        (r["grp"], r["doc_id"])
+        for r in sampling.stratified_sample(df, "grp", "k", 2).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id bigint, grp varchar, k varchar)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        (d["grp"], d["doc_id"])
+        for d in con.execute(
+            sampling.stratified_sample_sql("t", "grp", "k", 2)
+        ).fetch_arrow_table().to_pylist()
+    }
+    assert got == want
+    # the NULL-key row never displaces a non-NULL row from the quota
+    assert (("g1", 2)) not in got
+    # but fills the quota when the group lacks non-NULL rows
+    assert ("g2", 5) in got and ("g3", 7) in got

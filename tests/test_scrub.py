@@ -23,6 +23,10 @@ ROWS = [
     (8, "汉字文本和一些中文内容 ok 在一起"),  # cjk-dominant, some latin
     (9, "чисто русский текст без примесей"),
     (10, "نص عربي قصير"),
+    # ADVICE r4: overlapping PII — an IPv4/phone-shaped run INSIDE an
+    # email that the email pass swallows must be counted once, not twice
+    (11, "ping me at user@192.168.1.10.com today"),
+    (12, "+4917012345678@mail.example.org wrote in yesterday"),
 ]
 
 
@@ -54,6 +58,17 @@ def test_pii_scrub_cross_engine(spark):
     assert by_id[4]["n_email"] == 1 and by_id[4]["n_ip"] == 1 and by_id[4]["n_phone"] == 1
     assert by_id[5]["scrubbed"] == ROWS[4][1]  # untouched
     assert by_id[7]["scrubbed"] is None  # NULL propagates
+    # overlapping PII counted once: the audit counts equal the actual
+    # number of replacement tokens in the scrubbed text (ADVICE r4)
+    assert by_id[11]["n_email"] == 1 and by_id[11]["n_ip"] == 0
+    assert by_id[12]["n_email"] == 1 and by_id[12]["n_phone"] == 0
+    for r in got_rows:
+        if r["scrubbed"] is None:
+            continue
+        n_tokens = sum(
+            r["scrubbed"].count(tok) for tok in ("<EMAIL>", "<IP>", "<PHONE>")
+        )
+        assert r["n_email"] + r["n_ip"] + r["n_phone"] == n_tokens, r
 
 
 def test_script_profile_cross_engine(spark):
