@@ -251,10 +251,11 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         lambda s, d: relational.rollup_counts(_t(s, d, "documents")),
         relational.ROLLUP_COUNTS_SQL,
     )
-    c["union_distinct"] = (
-        lambda s, d: relational.union_distinct(_t(s, d, "documents")),
-        relational.UNION_DISTINCT_SQL,
-    )
+    # (union_distinct left the contract in r5 to make room for the
+    # composite curation_manifest inside the driver's 50-query window
+    # (VERDICT r4 next #1: the thinnest §2g gate was the named trade
+    # candidate).  The set-op capability stays pytest-gated cross-engine
+    # in tests/test_contract.py::test_union_distinct_cross_engine.)
 
     # windows / order-dependent (SURVEY §2e)
     c["gaps_islands_rle"] = (
@@ -386,6 +387,43 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     c["dedup_incremental"] = (
         q_dedup_incremental,
         dedup.dedup_incremental_sql(*dedup.incremental_split_sql()),
+    )
+
+    def q_curation_manifest(s: SparkSession, d: str) -> DataFrame:
+        # the COMPOSED curation pipeline as ONE oracled slot (VERDICT
+        # r4 next #1): quality gates -> LSH->verify->CC dedup ->
+        # decontamination -> leakage-safe split -> script routing ->
+        # PII scrub, all hash-checked against the chained DuckDB
+        # restatements of the very operators it composes.  Input: the
+        # injected-dup corpus (synthetic data has no natural dups);
+        # eval set: verbatim copies of every 50th doc (guaranteed
+        # decontamination hits, id-shifted out of the corpus space).
+        # cache=False: the driver collects the returned frame with no
+        # release() window, so the zero-residue form is used here (see
+        # curate_corpus docstring).
+        from .plans.curate import curate_corpus
+
+        docs = dedup.with_injected_dups(
+            _t(s, d, "documents").select("doc_id", "text")
+        )
+        ev = (
+            _t(s, d, "documents")
+            .filter("doc_id % 50 = 7")
+            .selectExpr("doc_id + 9000000 AS doc_id", "text")
+        )
+        return curate_corpus(docs, ev, cache=False)
+
+    from .plans.curate import curation_manifest_sql
+
+    c["curation_manifest"] = (
+        q_curation_manifest,
+        curation_manifest_sql(
+            corpus=dedup.injected_dups_sql(),
+            eval_docs=(
+                "SELECT doc_id + 9000000 AS doc_id, text FROM documents"
+                " WHERE doc_id % 50 = 7"
+            ),
+        ),
     )
 
     # similarity search

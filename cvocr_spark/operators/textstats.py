@@ -63,14 +63,18 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-QUALITY_SCORE_SQL = f"""
+def quality_score_sql(corpus: str = "SELECT * FROM documents") -> str:
+    """Parameterized over the input corpus (the composite curation
+    oracle feeds quality survivors of an injected-dup corpus, not the
+    raw documents table)."""
+    return f"""
 WITH x AS (
   SELECT doc_id,
          cast(length(string_split(text, ' ')) as double) AS n_tokens,
          cast(length(list_filter(string_split(text, ' '),
                                  w -> list_contains({_STOP_DUCK}, w))) as double) AS n_stop,
          cast(length(list_distinct(string_split(text, ' '))) as double) AS n_types
-  FROM documents
+  FROM ({corpus})
 )
 SELECT doc_id,
        round(n_stop / n_tokens, 4) AS stop_ratio,
@@ -80,6 +84,9 @@ SELECT doc_id,
              + 0.2 * (n_types / n_tokens), 4) AS quality
 FROM x
 """
+
+
+QUALITY_SCORE_SQL = quality_score_sql()
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -282,7 +289,7 @@ def corpus_filter_sql(corpus: str = "SELECT * FROM documents") -> str:
              CASE WHEN r.top_word_fraction > {FILTER_MAX_TOP_WORD} THEN 'top_heavy' END
            )"""
     return f"""
-    WITH q AS ({QUALITY_SCORE_SQL}),
+    WITH q AS ({quality_score_sql(corpus)}),
     r AS ({rep})
     SELECT doc_id, quality, dup_trigram_fraction, drop_reasons,
            drop_reasons = '' AS keep

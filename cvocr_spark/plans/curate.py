@@ -44,6 +44,7 @@ def curate_corpus(
     eval_docs: DataFrame | None = None,
     eval_pct: float = 5.0,
     threshold: float = 0.8,
+    cache: bool = True,
 ) -> DataFrame:
     """documents(doc_id, text, ...) -> curation manifest:
 
@@ -91,9 +92,14 @@ def curate_corpus(
     # crawl-scale run materializes each stage to the lake instead
     # (the dedup-index build/serve split, dedup.py) — this in-plan
     # composition is the single-job form.
+    # ``cache=False`` trades the 3x gate recompute for zero session
+    # residue — the shape the oracled contract query uses (the driver
+    # collects the returned frame and never gets a release() window)
     survivors = base.join(
         gates.filter("keep").select("doc_id"), "doc_id", "left_semi"
-    ).persist()
+    )
+    if cache:
+        survivors = survivors.persist()
     pairs = _dd.minhash_verified_dups(survivors, threshold=threshold).select("a", "b")
     clusters = _dd.dedup_clusters(survivors, pairs)
 
@@ -144,7 +150,7 @@ def curate_corpus(
     # stash the persisted intermediate for release() — a plain python
     # attribute on the returned frame; never serialized, purely a
     # driver-side unpersist handle
-    manifest._curate_cached = [survivors]  # type: ignore[attr-defined]
+    manifest._curate_cached = [survivors] if cache else []  # type: ignore[attr-defined]
     return manifest
 
 
@@ -155,3 +161,75 @@ def release(manifest: DataFrame) -> None:
     first would just silently recompute the gate pipelines thrice."""
     for df in getattr(manifest, "_curate_cached", []):
         df.unpersist()
+
+
+def curation_manifest_sql(
+    corpus: str = "SELECT doc_id, text FROM documents",
+    eval_docs: str | None = None,
+    eval_pct: float = 5.0,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB restatement of the WHOLE composed pipeline — one oracle
+    hash-checking every stage curate_corpus chains (quality gates,
+    LSH->verify->CC dedup, decontamination, leakage-safe split, script
+    routing, PII scrub) in a single contract slot (VERDICT r4 next #1;
+    reference analogue: the composed E2 lifecycle, reco.py:227-265).
+
+    Each stage's restatement is the SAME one its standalone operator
+    oracles with — corpus_filter_sql, dedup_clusters_verified_sql,
+    decontaminate_sql, split_train_eval_sql, script_profile_sql,
+    pii_scrub_sql — nested as CTE bodies (a DuckDB CTE body is a full
+    SELECT and may carry its own WITH [RECURSIVE]), chained exactly as
+    curate_corpus chains the DataFrames."""
+    from ..operators.decontam import decontaminate_sql
+    from ..operators.dedup import dedup_clusters_verified_sql
+    from ..operators.sampling import split_train_eval_sql
+    from ..operators.scrub import pii_scrub_sql, script_profile_sql
+    from ..operators.textstats import corpus_filter_sql
+
+    if eval_docs is None:
+        contam_cte = "SELECT doc_id, false AS is_contaminated FROM keepers"
+    else:
+        contam_cte = decontaminate_sql("SELECT * FROM keepers", eval_docs)
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM ({corpus})),
+    gates0 AS ({corpus_filter_sql("SELECT * FROM base")}),
+    gates AS (
+      SELECT b.doc_id,
+             coalesce(g.keep, false) AS keep,
+             coalesce(g.drop_reasons, 'no_text') AS drop_reasons
+      FROM base b LEFT JOIN gates0 g ON b.doc_id = g.doc_id
+    ),
+    surv AS (
+      SELECT b.doc_id, b.text FROM base b
+      JOIN gates g ON b.doc_id = g.doc_id WHERE g.keep
+    ),
+    clusters AS ({dedup_clusters_verified_sql("SELECT * FROM surv", threshold)}),
+    keepers AS (
+      SELECT s.doc_id, s.text FROM surv s
+      JOIN clusters c ON s.doc_id = c.doc_id WHERE c.is_keeper
+    ),
+    contam AS ({contam_cte}),
+    split AS ({split_train_eval_sql("(SELECT doc_id FROM keepers)", "doc_id", eval_pct)}),
+    script AS ({script_profile_sql("base")}),
+    scrub AS ({pii_scrub_sql("base")})
+    SELECT g.doc_id,
+           (g.keep AND coalesce(c.is_keeper, false)
+                   AND NOT coalesce(ct.is_contaminated, true)) AS keep,
+           CASE WHEN g.drop_reasons <> '' THEN g.drop_reasons
+                WHEN NOT coalesce(c.is_keeper, false) THEN 'duplicate'
+                WHEN coalesce(ct.is_contaminated, false) THEN 'contaminated'
+                ELSE '' END AS drop_reasons,
+           c.cluster_id,
+           coalesce(c.is_keeper, false) AS is_keeper,
+           coalesce(ct.is_contaminated, false) AS is_contaminated,
+           sp.split,
+           s.main_script,
+           sc.n_email, sc.n_ip, sc.n_phone, sc.scrubbed
+    FROM gates g
+    LEFT JOIN clusters c ON g.doc_id = c.doc_id
+    LEFT JOIN contam ct ON g.doc_id = ct.doc_id
+    LEFT JOIN split sp ON g.doc_id = sp.doc_id
+    LEFT JOIN script s ON g.doc_id = s.doc_id
+    LEFT JOIN scrub sc ON g.doc_id = sc.doc_id
+    """

@@ -81,3 +81,20 @@ def test_query_matches_oracle(name, contract, duck, spark):
     assert not mismatches, (
         f"{name}: {len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
     )
+
+
+def test_union_distinct_cross_engine(duck, spark):
+    """Set-op capability gate (§2g) — left the checked contract in r5
+    (traded for the composite curation_manifest slot), stays pinned
+    cross-engine here like the other traded demos."""
+    from cvocr_spark.operators import relational
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(r["v"] for r in relational.union_distinct(docs).collect())
+    want = sorted(
+        d["v"]
+        for d in duck.execute(relational.UNION_DISTINCT_SQL)
+        .fetch_arrow_table()
+        .to_pylist()
+    )
+    assert got == want and len(got) > 0

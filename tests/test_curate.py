@@ -106,6 +106,40 @@ def test_curate_survives_nasty_corpus(spark):
         assert not out[d]["keep"] and out[d]["drop_reasons"] != ""
 
 
+def test_curation_manifest_oracle_cross_engine(spark):
+    """The composite DuckDB restatement (curation_manifest_sql) must
+    reproduce the Spark manifest ROW FOR ROW on the injected-dup fixture
+    corpus — the same check the driver's contract slot hash-gates."""
+    import duckdb
+
+    from cvocr_spark.plans.curate import curation_manifest_sql
+
+    sf = SF_DIR
+    docs = dedup.with_injected_dups(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
+    ev = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter("doc_id % 50 = 7")
+        .selectExpr("doc_id + 9000000 AS doc_id", "text")
+    )
+    m = curate_corpus(docs, ev, cache=False)
+    key = lambda d: tuple((k, str(d[k])) for k in sorted(d))  # noqa: E731
+    got = sorted(key(r.asDict()) for r in m.collect())
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    sql = curation_manifest_sql(
+        corpus=dedup.injected_dups_sql(),
+        eval_docs="SELECT doc_id + 9000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 7",
+    )
+    want = sorted(
+        key(d) for d in con.execute(sql).fetch_arrow_table().to_pylist()
+    )
+    assert got == want
+
+
 def test_curate_release_unpersists(spark):
     """ADVICE r4: release() must actually drop the cached survivors —
     the per-call cached-frame leak class."""
