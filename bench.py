@@ -34,6 +34,7 @@ VARIANTS = int(os.environ.get("CVOCR_BENCH_VARIANTS", "40"))
 DO_SCALING = os.environ.get("CVOCR_BENCH_SCALING", "1") != "0"
 SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 BUDGET_S = float(os.environ.get("CVOCR_BENCH_BUDGET_S", "480"))
+QUERY_REPS = int(os.environ.get("CVOCR_BENCH_QUERY_REPS", "3"))
 _T_START = time.perf_counter()
 
 HEADLINE = [
@@ -58,6 +59,21 @@ HEADLINE = [
     "ivf_ann_search",
     "token_stats",
 ]
+
+
+def _timed_median(run, walls: dict[str, list[float]], name: str) -> float:
+    """QUERY_REPS timed runs; returns the trimmed median (reps > 1.5x
+    the rep minimum are thermal/GC spikes, dropped from the median but
+    never from the raw record)."""
+    ts = []
+    for _ in range(QUERY_REPS):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    walls[name] = [round(t, 3) for t in ts]
+    ts = sorted(ts)
+    kept = [t for t in ts if t <= 1.5 * ts[0]]
+    return round(kept[(len(kept) - 1) // 2], 3)
 
 
 def _session(cores: int):
@@ -227,18 +243,30 @@ def main() -> None:
         # so it is never budget-starved by a slow query set
         _do_scaling(result, tmp, pages_path, n_docs)
 
-        # headline relational queries at SF_DIR (one warm + one timed;
-        # the iterative clusters query is timed cold — its first run IS
-        # the honest cost, and a warm pass would double the wall)
+        # headline relational queries at SF_DIR.  DRAW-ROBUST per-query
+        # protocol (VERDICT r4 next #2 — the scaling section got this
+        # treatment in r4; single per-query draws kept producing
+        # phantom 15-30% regressions on this thermally-noisy box):
+        # one warm pass (plan + scan cache + JIT), then QUERY_REPS
+        # timed reps; the recorded number is the MEDIAN over reps
+        # within 1.5x the rep minimum (same outlier policy as the
+        # scaling block), with every raw wall recorded in query_walls.
+        # The r4->r5 protocol change for dedup_clusters (was: one COLD
+        # draw) is disclosed in BENCH/BASELINE.md.
         spark = _session(CPUS)
         contract = build_contract()
+        query_walls: dict[str, list[float]] = {}
         for name in HEADLINE:
             fn, _sql = contract[name]
-            if name != "dedup_clusters":
-                fn(spark, SF_DIR).count()  # warm (plan + scan cache)
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            queries[name] = round(time.perf_counter() - t0, 3)
+            fn(spark, SF_DIR).count()  # warm (plan + scan cache)
+            queries[name] = _timed_median(
+                lambda: fn(spark, SF_DIR).collect(), query_walls, name
+            )
+        result["query_walls"] = query_walls
+        result["query_rep_policy"] = (
+            f"median over {QUERY_REPS} reps with walls <= 1.5x rep min; "
+            "1 warm pass; raw walls recorded"
+        )
 
         # incremental-dedup serve path (not a contract slot — the
         # 50-query cap): build the stored index once per corpus
@@ -256,9 +284,13 @@ def main() -> None:
         dedup_ops.build_dedup_index(existing, idx)
         result["dedup_index_build_sec"] = round(time.perf_counter() - t0, 3)
         dedup_ops.dedup_incremental_indexed(new_batch, existing, idx).count()
-        t0 = time.perf_counter()
-        dedup_ops.dedup_incremental_indexed(new_batch, existing, idx).collect()
-        queries["dedup_incremental_indexed"] = round(time.perf_counter() - t0, 3)
+        queries["dedup_incremental_indexed"] = _timed_median(
+            lambda: dedup_ops.dedup_incremental_indexed(
+                new_batch, existing, idx
+            ).collect(),
+            query_walls,
+            "dedup_incremental_indexed",
+        )
         spark.stop()
 
         result["queries"] = queries
