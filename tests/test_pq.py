@@ -153,3 +153,65 @@ def test_pq_survives_degenerate_vectors(spark):
     assert {r["query_id"] for r in out} == {0, 1, 2}
     out2 = pq.ivfpq_topk(emb, n_queries=2, k=2, n_probe=2, rerank=5).collect()
     assert {r["query_id"] for r in out2} == {0, 1}
+
+
+def test_encode_numpy_matches_flat(spark):
+    """The production-width encoder (one Arrow pass, int64 einsum) must
+    produce ROW-IDENTICAL codes to the M-chained flat-aggregate form
+    at demo K — same Spark-side quantizer, same exact integers, same
+    first-min tie-break (VERDICT r4 next #4)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq.train_codebooks_fused(emb)
+    flat = {r["vec_id"]: list(r["codes"]) for r in pq.encode(emb, books).collect()}
+    np_ = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.encode_numpy(emb, books).collect()
+    }
+    assert flat == np_ and flat
+
+
+def test_ivfpq_serve_matches_selfcontained(spark, tmp_path):
+    """Build/serve split (VERDICT r4 next #3): serving from the
+    materialized index must be row-identical to the self-contained
+    ivfpq_topk; the serve path contains NO training (it takes no
+    corpus input); a torn build (marker gone, artifacts partial) is
+    rebuilt, never served."""
+    import shutil
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_idx")
+    want = sorted(
+        map(tuple, pq.ivfpq_topk(emb, n_queries=5, k=5, n_probe=4).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            pq.ivfpq_build_and_search(
+                spark, emb, path, n_probe=4, n_queries=5, topk=5
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+    # serve-only path: same results straight from the stored artifacts
+    served = sorted(
+        map(
+            tuple,
+            pq.ivfpq_search_index(spark, path, n_probe=4, n_queries=5, k=5).collect(),
+        )
+    )
+    assert served == want
+
+    # torn build: books intact, codes/stats/marker gone -> rebuilt
+    shutil.rmtree(f"{path}/codes")
+    shutil.rmtree(f"{path}/stats")
+    os.remove(f"{path}/_BUILT")
+    again = sorted(
+        map(
+            tuple,
+            pq.ivfpq_build_and_search(
+                spark, emb, path, n_probe=4, n_queries=5, topk=5
+            ).collect(),
+        )
+    )
+    assert again == want
