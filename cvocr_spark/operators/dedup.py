@@ -260,11 +260,10 @@ def minhash_signatures_wide(docs: DataFrame) -> DataFrame:
     return _minhash_sigs_flat(docs, P.MINHASH_WIDE_K, off2=14, width=13)
 
 
-def minhash_lsh_pairs_wide(
-    docs: DataFrame, max_bucket: int = MAX_BUCKET
-) -> DataFrame:
-    """Candidate pairs from k=128 minhash, 16 bands x 8 rows (52-bit
-    double-hash halves; see functions/portable.py wide scheme)."""
+def _banded_wide(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_val) at production width (k=128, 16x8) —
+    shared by the self-join pair pipeline and the cross-batch probe
+    (dedup_incremental_pairs)."""
     sigs = minhash_signatures_wide(docs)
     band_cols = [
         F.struct(
@@ -275,10 +274,17 @@ def minhash_lsh_pairs_wide(
         )
         for b in range(WIDE_BANDS)
     ]
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_val")
-    safe = _safe_banded(banded, max_bucket)
+
+
+def minhash_lsh_pairs_wide(
+    docs: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Candidate pairs from k=128 minhash, 16 bands x 8 rows (52-bit
+    double-hash halves; see functions/portable.py wide scheme)."""
+    safe = _safe_banded(_banded_wide(docs), max_bucket)
     a, b = safe.alias("a"), safe.alias("b")
     return (
         a.join(
@@ -772,6 +778,54 @@ def _exact_hash_table(existing: DataFrame) -> DataFrame:
     )
 
 
+def dedup_incremental_pairs(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
+    wide: bool = False,
+) -> DataFrame:
+    """ALL verified cross-batch near-dup pairs (a = new doc, b =
+    existing doc) — the PAIR-level output of dedup_incremental's
+    phase 2, which the per-doc decision form collapses to one min
+    keeper per new doc.  Cluster MAINTENANCE needs every pair: a new
+    doc matching two existing docs x and y must merge x's and y's
+    components, which the collapsed (doc, min_keeper) edge alone
+    cannot do.  Feed these, plus the batch-local verified pairs, into
+    ``connected_components_incremental`` — the composed growing-crawl
+    dedup (soak_dedup.py incremental section).  Exact cross-batch
+    copies surface here too: identical texts share every band and
+    verify at J = 1.0.  ``wide=True`` probes at production banding
+    (k=128, 16x8) to match the soak's pipeline config."""
+    band = _banded_wide if wide else _banded
+    eb = _safe_banded(band(existing), max_bucket)
+    nb = _safe_banded(band(new_docs), max_bucket)
+    cand = (
+        nb.alias("n")
+        .join(
+            eb.alias("e"),
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.band_val") == F.col("e.band_val")),
+        )
+        .select(F.col("n.doc_id").alias("a"), F.col("e.doc_id").alias("b"))
+        .distinct()
+    )
+    corpus = new_docs.select("doc_id", "text").unionByName(
+        existing.select("doc_id", "text")
+    )
+    return verify_pairs_jaccard(cand, corpus, threshold).select("a", "b")
+
+
+def dedup_index_ready(spark, path: str) -> bool:
+    """True iff the terminal _BUILT marker exists — the same torn-build
+    rule as the IVF index (a build killed between the two artifact
+    writes must read as not-built)."""
+    from .ivf import _built_marker
+
+    fs, marker = _built_marker(spark, path)
+    return bool(fs.exists(marker))
+
+
 def build_dedup_index(
     existing: DataFrame, path: str, max_bucket: int = MAX_BUCKET
 ) -> None:
@@ -790,13 +844,54 @@ def build_dedup_index(
     Verify-phase text lookups still read the corpus table itself:
     candidates are bounded by the LSH output, so that join is linear
     in candidates either way and duplicating every text into the
-    index would double corpus storage for nothing."""
+    index would double corpus storage for nothing.
+
+    Terminal ``_BUILT`` marker (r5): cleared first, written only after
+    BOTH artifacts land — the ivf.py torn-build rule, so
+    ``dedup_index_ready`` can gate build-once/serve-many callers
+    (curate_corpus's dedup_index_path switch)."""
+    from .ivf import _built_marker
+
+    spark = existing.sparkSession
+    fs, marker = _built_marker(spark, path)
+    fs.delete(marker, False)
     _exact_hash_table(existing).write.mode("overwrite").parquet(
         f"{path}/exact_hash"
     )
     _safe_banded(_banded(existing), max_bucket).write.mode("overwrite").partitionBy(
         "band_id"
     ).parquet(f"{path}/bands")
+    fs.create(marker, True).close()
+
+
+def minhash_verified_dups_indexed(
+    docs: DataFrame, index_path: str, threshold: float = 0.8
+) -> DataFrame:
+    """``minhash_verified_dups`` SERVED from a stored band table
+    (written by ``build_dedup_index`` over the SAME doc set): the
+    signature + banding recompute — the part that grows with corpus
+    size — is skipped entirely; the candidate self-join runs over the
+    stored (already hot-bucket-guarded) bands, and the Jaccard verify
+    reads ``docs`` for texts exactly as the in-plan form does.
+    PAIR-IDENTICAL to the in-plan form by construction (the stored
+    bands ARE _safe_banded(_banded(docs))); asserted in
+    tests/test_curate.py via byte-identical manifests."""
+    spark = docs.sparkSession
+    eb = spark.read.schema("doc_id bigint, band_val string, band_id int").parquet(
+        f"{index_path}/bands"
+    )
+    a, b = eb.alias("a"), eb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return verify_pairs_jaccard(cand, docs, threshold)
 
 
 def dedup_incremental_indexed(

@@ -45,6 +45,7 @@ def curate_corpus(
     eval_pct: float = 5.0,
     threshold: float = 0.8,
     cache: bool = True,
+    dedup_index_path: str | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, ...) -> curation manifest:
 
@@ -54,6 +55,17 @@ def curate_corpus(
     ``keep`` is the FINAL decision: passed every quality gate AND is
     its cluster's keeper AND is not contaminated.  Dropped docs stay in
     the manifest with their reasons — the audit surface.
+
+    ``dedup_index_path`` (VERDICT r4 next #8) is the train/serve
+    switch for the composed pipeline: when set, the survivors' LSH
+    band table is MATERIALIZED there once per corpus generation
+    (build_dedup_index under its _BUILT torn-build marker; skipped
+    when already built) and the pair stage is served from the stored
+    bands — re-curation runs with tweaked downstream knobs (split pct,
+    eval set, scrub policy) skip the signature recompute, the part
+    that grows with corpus size.  Manifests are byte-identical to the
+    in-plan form (asserted in tests/test_curate.py): the stored bands
+    ARE the in-plan band table, guard included.
 
     CACHING CONTRACT (ADVICE r4): the returned frame references a
     persisted intermediate (the quality survivors — three consumers).
@@ -100,7 +112,15 @@ def curate_corpus(
     )
     if cache:
         survivors = survivors.persist()
-    pairs = _dd.minhash_verified_dups(survivors, threshold=threshold).select("a", "b")
+    if dedup_index_path is not None:
+        spark = docs.sparkSession
+        if not _dd.dedup_index_ready(spark, dedup_index_path):
+            _dd.build_dedup_index(survivors, dedup_index_path)
+        pairs = _dd.minhash_verified_dups_indexed(
+            survivors, dedup_index_path, threshold=threshold
+        ).select("a", "b")
+    else:
+        pairs = _dd.minhash_verified_dups(survivors, threshold=threshold).select("a", "b")
     clusters = _dd.dedup_clusters(survivors, pairs)
 
     # 5. decontaminate the keepers (skip if no eval set supplied)

@@ -140,6 +140,46 @@ def test_curation_manifest_oracle_cross_engine(spark):
     assert got == want
 
 
+def test_curate_indexed_path_identical_manifest(spark, tmp_path):
+    """VERDICT r4 next #8: the dedup_index_path switch (pair stage
+    served from the materialized survivor band table) must produce a
+    BYTE-IDENTICAL manifest to the in-plan form, build once per
+    corpus generation (second call serves the stored index), and
+    rebuild a torn index."""
+    docs, rows = _manifest(spark)
+    ev = spark.createDataFrame(
+        [(9001, docs.filter("doc_id = 7").collect()[0]["text"]),
+         (9002, "completely unrelated benchmark prompt about orbital mechanics")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "curate_dedup_idx")
+    m = curate_corpus(docs, ev, dedup_index_path=idx)
+    rows_idx = m.collect()
+    release(m)
+    key = lambda r: tuple(map(str, r))  # noqa: E731
+    assert sorted(map(key, rows_idx)) == sorted(map(key, rows))
+    assert os.path.exists(f"{idx}/_BUILT")
+
+    # second run SERVES the stored index (marker short-circuits the
+    # build) and still matches
+    mtime = os.path.getmtime(f"{idx}/_BUILT")
+    m2 = curate_corpus(docs, ev, dedup_index_path=idx)
+    rows2 = m2.collect()
+    release(m2)
+    assert sorted(map(key, rows2)) == sorted(map(key, rows))
+    assert os.path.getmtime(f"{idx}/_BUILT") == mtime  # no rebuild
+
+    # torn index (marker gone) rebuilds rather than serving partial
+    import shutil
+
+    os.remove(f"{idx}/_BUILT")
+    shutil.rmtree(f"{idx}/bands")
+    m3 = curate_corpus(docs, ev, dedup_index_path=idx)
+    rows3 = m3.collect()
+    release(m3)
+    assert sorted(map(key, rows3)) == sorted(map(key, rows))
+
+
 def test_curate_release_unpersists(spark):
     """ADVICE r4: release() must actually drop the cached survivors —
     the per-call cached-frame leak class."""

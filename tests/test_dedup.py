@@ -344,3 +344,61 @@ def test_connected_components_incremental_equals_scratch(spark):
     assert inc[50] == 50  # untouched singleton survives
     assert inc[1] == inc[11] == inc[99] == 1  # cross-component merge
     assert inc[20] == 20 and inc[21] == 20  # untouched component intact
+
+
+def test_incremental_pairs_then_incremental_cc_equals_scratch(spark):
+    """The COMPOSED growing-crawl dedup (VERDICT r4 next #6): batches
+    arrive one at a time; each contributes its batch-local verified
+    pairs plus ALL cross-batch pairs (dedup_incremental_pairs — the
+    pair-level form, not the min-keeper collapse), folded by
+    connected_components_incremental.  After the last batch the
+    maintained labels must equal a from-scratch CC over every pair
+    ever discovered — including a family whose members arrive in
+    DIFFERENT batches and only connect through a later arrival."""
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    base_b = ("metric spaces admit open covers whose nerve complexes capture "
+              "homotopy type under mild convexity assumptions everywhere")
+    mka = lambda i, extra: (i, f"{base_a} {extra}")  # noqa: E731
+    mkb = lambda i, extra: (i, f"{base_b} {extra}")  # noqa: E731
+    batches = [
+        # batch 0: family A v0+v1, a singleton
+        [mka(1, "alpha one"), mka(2, "alpha two"), (50, "totally unrelated "
+            "document about differential geometry and fiber bundles only")],
+        # batch 1: family A v2 (connects to batch 0), family B v0
+        [mka(3, "alpha three"), mkb(10, "beta one")],
+        # batch 2: exact copy of doc 1 (cross-batch exact), family B v1
+        [(4, f"{base_a} alpha one"), mkb(11, "beta two")],
+    ]
+    frames = [
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        for rows in batches
+    ]
+    threshold = 0.8
+    labels = None
+    existing = None
+    all_pairs = None
+    for bdf in frames:
+        intra = dedup.minhash_verified_dups(bdf, threshold=threshold).select("a", "b")
+        if existing is None:
+            new_pairs = intra
+            existing = bdf
+        else:
+            cross = dedup.dedup_incremental_pairs(bdf, existing, threshold=threshold)
+            new_pairs = intra.unionByName(cross)
+            existing = existing.unionByName(bdf)
+        all_pairs = new_pairs if all_pairs is None else all_pairs.unionByName(new_pairs)
+        if labels is None:
+            labels = dedup.connected_components(new_pairs)
+        else:
+            labels = dedup.connected_components_incremental(labels, new_pairs)
+    inc = {r["node"]: r["label"] for r in labels.collect()}
+    scratch = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(all_pairs).collect()
+    }
+    assert inc == scratch
+    # the cross-batch family chain actually merged: 1,2 (batch 0),
+    # 3 (batch 1), 4 = exact copy of 1 (batch 2) -> one component
+    assert inc[1] == inc[2] == inc[3] == inc[4] == 1
+    assert inc[10] == inc[11] == 10
+    assert 50 not in inc  # singleton never entered a pair
