@@ -23,6 +23,26 @@ def _topk_map(rows):
     return {q: sorted(v, reverse=True) for q, v in out.items()}
 
 
+def test_cosine_topk_cross_engine(spark):
+    """cosine_topk's DuckDB restatement — the slot left the checked
+    contract in r5 (traded for the oracled PQ pipeline), so the pin
+    lives here like the other traded demos."""
+    import duckdb
+
+    from cvocr_spark.operators.similarity import cosine_topk_sql
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sorted(map(tuple, cosine_topk(emb).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    rows = con.execute(cosine_topk_sql()).fetch_arrow_table().to_pylist()
+    cols = cosine_topk(emb).columns
+    want = sorted(tuple(d[c] for c in cols) for d in rows)
+    assert got == want and got
+
+
 def test_numpy_ann_matches_exact_baseline(spark):
     """The int64-quantized numpy path (r4: exact-integer scoring, hash
     oracled) against the float-fold exact baseline: milli-quantization
