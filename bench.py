@@ -53,7 +53,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_incremental",
     "simhash64_neardup",
-    "cosine_topk",
+    "pq_adc_topk",
     "ann_numpy_topk",
     "ivf_ann_topk",
     "ivf_ann_search",
@@ -274,6 +274,17 @@ def main() -> None:
         # batch against it; compare with dedup_incremental above,
         # which re-derives the corpus side in-plan every batch
         from cvocr_spark.operators import dedup as dedup_ops
+
+        # cosine_topk left the contract in r5 (traded for the oracled
+        # PQ slot) but stays a bench line for r4 comparability — timed
+        # through the operator directly
+        from cvocr_spark.operators.similarity import cosine_topk as _ct
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        _ct(emb).count()
+        queries["cosine_topk"] = _timed_median(
+            lambda: _ct(emb).collect(), query_walls, "cosine_topk"
+        )
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
             "doc_id", "text"
