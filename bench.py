@@ -302,6 +302,25 @@ def main() -> None:
             query_walls,
             "dedup_incremental_indexed",
         )
+
+        # IVF-PQ serve path (r5): build the materialized index once per
+        # corpus generation (amortized, reported separately), then time
+        # SERVING — compare with pq_adc_topk above, which retrains the
+        # whole pipeline per call
+        from cvocr_spark.operators import pq as pq_ops
+
+        ivfpq_idx = os.path.join(tmp, "ivfpq_index")
+        t0 = time.perf_counter()
+        pq_ops.build_ivfpq_index(emb, ivfpq_idx)
+        result["ivfpq_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        pq_ops.ivfpq_search_index(spark, ivfpq_idx, n_probe=4).count()
+        queries["ivfpq_search"] = _timed_median(
+            lambda: pq_ops.ivfpq_search_index(
+                spark, ivfpq_idx, n_probe=4
+            ).collect(),
+            query_walls,
+            "ivfpq_search",
+        )
         spark.stop()
 
         result["queries"] = queries

@@ -402,3 +402,29 @@ def test_incremental_pairs_then_incremental_cc_equals_scratch(spark):
     assert inc[1] == inc[2] == inc[3] == inc[4] == 1
     assert inc[10] == inc[11] == 10
     assert 50 not in inc  # singleton never entered a pair
+
+
+def test_dedup_incremental_pairs_degenerate_inputs(spark):
+    """Empty batch, empty existing corpus, NULL texts — the
+    cross-batch pair probe must yield empty/sane results, never a
+    stage-killer (the cold-start crawl and the all-filtered batch are
+    both real states)."""
+    schema = "doc_id bigint, text string"
+    docs = spark.createDataFrame(
+        [(1, "some plain words in a row for the probe to shingle today"),
+         (2, None)],
+        schema,
+    )
+    empty = spark.createDataFrame([], schema)
+    assert dedup.dedup_incremental_pairs(docs, empty).count() == 0
+    assert dedup.dedup_incremental_pairs(empty, docs).count() == 0
+    assert dedup.dedup_incremental_pairs(empty, empty).count() == 0
+    # NULL-text rows on either side are dropped by the shingle guard,
+    # an exact copy across sides still pairs
+    both = spark.createDataFrame(
+        [(10, "some plain words in a row for the probe to shingle today"),
+         (11, None)],
+        schema,
+    )
+    pairs = dedup.dedup_incremental_pairs(both, docs, threshold=0.8).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(10, 1)}

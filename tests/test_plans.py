@@ -180,6 +180,26 @@ def test_ivf_index_search_prunes_list_partitions(spark):
     assert pruned, f"no cid partition filter on the lists scan:\n{plan[:3000]}"
 
 
+def test_ivfpq_serve_prunes_code_partitions(spark):
+    """The materialized IVF-PQ serve path (r5) must reach the code-list
+    scan with a cid partition filter — same scale property as the IVF
+    pin above: ADC touches n_probe/k of the codes, never all of them."""
+    import re
+    import tempfile
+
+    from cvocr_spark.operators import pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="cvocr_ivfpq_plan_")
+    pq.build_ivfpq_index(emb, path)
+    plan = _plan(pq.ivfpq_search_index(spark, path, n_probe=2, n_queries=3))
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "/codes" in ln]
+    pruned = [
+        ln for ln in scans if re.search(r"PartitionFilters: \[cid#\d+ IN \(", ln)
+    ]
+    assert pruned, f"no cid partition filter on the codes scan:\n{plan[:3000]}"
+
+
 def test_order_dependent_queries_have_partitioned_windows(spark):
     """sessionize / gaps-islands / as-of: every window must partition by
     user_id (a GLOBAL window would serialize 10^12 rows through one

@@ -155,6 +155,29 @@ def test_pq_survives_degenerate_vectors(spark):
     assert {r["query_id"] for r in out2} == {0, 1}
 
 
+def test_ivfpq_serve_survives_degenerate_and_tiny_corpus(spark, tmp_path):
+    """The r5 build/serve path through the one-bad-row sweep: ragged/
+    NULL/zero vectors and a corpus smaller than both K's must build and
+    serve without a stage-killer (well-formed guard drops the bad rows
+    end-to-end; effective-K training kicks in)."""
+    from cvocr_spark.operators.ivf import DIM
+
+    rows = [(i, [0.01 * (i + d % 5) for d in range(DIM)]) for i in range(6)]
+    rows += [(6, None), (7, [0.5] * 3), (8, [0.0] * DIM)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "tiny_ivfpq")
+    out = pq.ivfpq_build_and_search(
+        spark, emb, path, n_probe=2, n_queries=2, topk=2
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    # ragged/NULL vectors never appear as neighbors
+    assert all(r["neighbor_id"] not in (6, 7) for r in out)
+    # numpy encoder handles the same degenerate corpus
+    books = pq.train_codebooks_fused(emb)
+    enc = {r["vec_id"] for r in pq.encode_numpy(emb, books).collect()}
+    assert enc == {0, 1, 2, 3, 4, 5, 8}
+
+
 def test_encode_numpy_matches_flat(spark):
     """The production-width encoder (one Arrow pass, int64 einsum) must
     produce ROW-IDENTICAL codes to the M-chained flat-aggregate form
