@@ -180,6 +180,64 @@ def test_curate_indexed_path_identical_manifest(spark, tmp_path):
     assert sorted(map(key, rows3)) == sorted(map(key, rows))
 
 
+def test_curation_manifest_oracle_nasty_corpus(spark):
+    """The composite oracle on the ADVERSARIAL corpus: NULL/empty/
+    degenerate texts, PII with overlapping patterns, mixed scripts,
+    exact + near dups, an eval-set hit — the parity-trap classes the
+    r3/r4 sweeps found (NULL ratios, regexp 'g' flags, CASE over empty
+    strings) must agree cross-engine through the WHOLE chained
+    restatement, not just the happy-path fixture."""
+    import duckdb
+
+    from cvocr_spark.plans.curate import curation_manifest_sql
+
+    # per-doc fillers: a SHARED filler would put the eval doc's 5-gram
+    # shingles in every doc and contaminate the whole corpus (found by
+    # this test's first draw — correct behavior, wrong fixture)
+    fill = lambda tag: " ".join(f"{tag}{i}" for i in range(30))  # noqa: E731
+    mail = f"mail me at alice@example.com or at user@192.168.1.10.com {fill('m')}"
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, " "),
+        (4, "one"),
+        (5, "x " * 400),
+        (6, mail),
+        (7, mail),
+        (8, f"汉字文本 and some latin plus и кириллица {fill('s')} extra"),
+        (9, f"benchmark sentence that leaks into the eval set verbatim {fill('e')}"),
+        (10, "!!! ??? ,,, ;;;"),
+        (11, f"a near duplicate of the mail document alice@example.com {fill('m')}"),
+    ]
+    ev_rows = [(900, rows[8][1])]  # doc 9's text verbatim
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sev = spark.createDataFrame(ev_rows, "doc_id bigint, text string")
+    m = curate_corpus(sdf, sev, cache=False)
+    key = lambda d: tuple((k, str(d[k])) for k in sorted(d))  # noqa: E731
+    got = sorted(key(r.asDict()) for r in m.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nasty_docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO nasty_docs VALUES (?, ?)", rows)
+    con.execute("CREATE TABLE evals (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO evals VALUES (?, ?)", ev_rows)
+    sql = curation_manifest_sql(
+        # table named nasty_docs, NOT "corpus": the chained restatement
+        # defines a CTE named corpus (the CTE-shadows-table parity trap)
+        corpus="SELECT doc_id, text FROM nasty_docs",
+        eval_docs="SELECT doc_id, text FROM evals",
+    )
+    want = sorted(
+        key(d) for d in con.execute(sql).fetch_arrow_table().to_pylist()
+    )
+    assert got == want
+    by_id = {dict(t)["doc_id"]: dict(t) for t in got}
+    assert by_id["9"]["drop_reasons"] == "contaminated"
+    assert by_id["1"]["drop_reasons"] == "no_text"
+    dup_pair = {by_id["6"]["drop_reasons"], by_id["7"]["drop_reasons"]}
+    assert dup_pair == {"", "duplicate"}
+
+
 def test_curate_release_unpersists(spark):
     """ADVICE r4: release() must actually drop the cached survivors —
     the per-call cached-frame leak class."""
