@@ -359,3 +359,92 @@ def test_stream_stats_partials_merge_to_batch_histogram(spark, tmp_path):
     }
     assert merged == want and len(merged) > 0
     pages.unpersist()
+
+
+def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
+    """r5 streaming cluster maintenance: doc batches arrive as a file
+    stream (1 file per microbatch); the maintained clustering after the
+    last batch must equal a from-scratch CC over every pair the stream
+    discovered — the soak-proven composition, driven by the real
+    Structured Streaming engine; then the torn-commit replay (labels
+    _SUCCESS gone) must be value-idempotent."""
+    import time as _time
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from cvocr_spark.operators import dedup as dd
+    from cvocr_spark.streaming import cluster_batch_writer, current_clusters
+    from cvocr_spark.streaming.cluster_stream import _complete_label_gens
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    base_b = ("metric spaces admit open covers whose nerve complexes capture "
+              "homotopy type under mild convexity assumptions everywhere")
+    batches = [
+        [(1, f"{base_a} alpha one"), (2, f"{base_a} alpha two"),
+         (50, "totally unrelated document about differential geometry today")],
+        [(3, f"{base_a} alpha three"), (10, f"{base_b} beta one")],
+        [(4, f"{base_a} alpha one"), (11, f"{base_b} beta two")],
+    ]
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{in_dir}/b{i}")
+        _time.sleep(0.05)  # distinct mtimes: file-source order = drop order
+
+    writer = cluster_batch_writer(spark, state)
+    (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/b*")
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in current_clusters(spark, state).collect()
+    }
+    # batch equivalent over the same arrival order
+    all_docs = [r for rows in batches for r in rows]
+    corpus = spark.createDataFrame(all_docs, "doc_id bigint, text string")
+    pairs = None
+    existing = None
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+        intra = dd.minhash_verified_dups(bdf, threshold=0.8).select("a", "b")
+        newp = intra if existing is None else intra.unionByName(
+            dd.dedup_incremental_pairs(bdf, existing, threshold=0.8)
+        )
+        pairs = newp if pairs is None else pairs.unionByName(newp)
+        existing = bdf if existing is None else existing.unionByName(bdf)
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dd.dedup_clusters(corpus, pairs).collect()
+    }
+    assert got == want
+    # the cross-batch family collapsed to one keeper; exact copy dropped
+    assert got[4] == (1, False) and got[1] == (1, True)
+    assert got[10][1] and not got[11][1]
+
+    # torn-commit replay: the engine re-delivers a batch whose labels
+    # commit vanished; recomputing from the previous generation must
+    # reach the same clustering (value-idempotent at-least-once)
+    gens = _complete_label_gens(f"{state}/labels")
+    last = gens[-1]
+    os.remove(f"{state}/labels/gen_{last}/_SUCCESS")
+    writer(
+        spark.createDataFrame(batches[last], "doc_id bigint, text string"),
+        last,
+    )
+    again = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in current_clusters(spark, state).collect()
+    }
+    assert again == got
