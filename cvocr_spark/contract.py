@@ -501,16 +501,24 @@ def build_contract() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     )
 
     # multimodal plumbing (mapInPandas over binary payloads)
-    c["multimodal_meta"] = (
-        lambda s, d: multimodal.media_metadata(_t(s, d, "documents")),
-        multimodal.MEDIA_METADATA_SQL,
-    )
+    # (multimodal_meta merged INTO multimodal_pipeline in r5 — the r3
+    # frames+resize merge precedent: the pipeline slot now exercises
+    # all THREE mapInPandas stages (frames UDTF, resize, metadata) in
+    # one checked result, freeing a slot for webtext_analytics below;
+    # media_metadata stays pinned standalone in test_null_robustness)
     c["multimodal_pipeline"] = (
-        # r3 merge of multimodal_frames + multimodal_resize (both green
-        # shapes in r1) into ONE oracled slot: frame digests joined to
-        # resize dims + thumb digest — both mapInPandas stages exercised
         lambda s, d: multimodal.media_pipeline(_t(s, d, "documents")),
         multimodal.media_pipeline_sql(),
+    )
+
+    # composite url/domain analytics + histogram-sketch quantiles —
+    # the last two pytest-only operator families (urlstats, histsketch)
+    # promoted into one oracled slot (r5)
+    from .operators import urlstats
+
+    c["webtext_analytics"] = (
+        lambda s, d: urlstats.webtext_analytics(_t(s, d, "documents")),
+        urlstats.webtext_analytics_sql(),
     )
 
     def q_ann_numpy(s: SparkSession, d: str) -> DataFrame:

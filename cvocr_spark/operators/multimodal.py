@@ -174,9 +174,15 @@ def media_pipeline(docs: DataFrame, max_side: int = 128, every_n: int = 3, max_f
         F.md5("thumb").alias("thumb_md5"),
         F.length("thumb").cast("int").alias("thumb_bytes"),
     )
-    return frames.join(resized, "doc_id").select(
+    # r5: the metadata stage rides the same slot (its standalone
+    # multimodal_meta contract slot was traded for webtext_analytics)
+    # so ALL THREE mapInPandas stages are exercised by one checked
+    # result — doc->frames UDTF, 1:1 resize, 1:1 metadata
+    meta = media_metadata(docs).select("doc_id", "n_bytes", "content_md5")
+    return frames.join(resized, "doc_id").join(meta, "doc_id").select(
         "doc_id", "frame_idx", "frame_md5", "frame_bytes",
         "out_w", "out_h", "thumb_md5", "thumb_bytes",
+        "n_bytes", "content_md5",
     )
 
 
@@ -205,8 +211,12 @@ def media_pipeline_sql(max_side: int = 128, every_n: int = 3, max_frames: int = 
       FROM meta
     )
     SELECT f.doc_id, f.frame_idx, f.frame_md5, f.frame_bytes,
-           r.out_w, r.out_h, r.thumb_md5, r.thumb_bytes
-    FROM frames f JOIN resized r ON f.doc_id = r.doc_id
+           r.out_w, r.out_h, r.thumb_md5, r.thumb_bytes,
+           cast(octet_length(encode(coalesce(d.text, ''))) as int) AS n_bytes,
+           md5(coalesce(d.text, '')) AS content_md5
+    FROM frames f
+    JOIN resized r ON f.doc_id = r.doc_id
+    JOIN documents d ON f.doc_id = d.doc_id
     """
 
 

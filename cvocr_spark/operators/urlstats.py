@@ -78,6 +78,67 @@ def domain_rollup(parts: DataFrame, size_col: str = "n_chars") -> DataFrame:
     )
 
 
+def webtext_analytics(docs: DataFrame) -> DataFrame:
+    """Composite url/domain analytics over the documents table — ONE
+    oracled slot (r5) gating both remaining pytest-only families:
+    url_parts -> domain_rollup joined to the per-host log2-histogram
+    doc-length quantiles (histsketch p50/p95/p99 upper bounds).
+
+    Urls derive from the generator invariant the extract queries
+    already oracle ('https://{source}.example.com/{lang}/doc{id}') —
+    the fixture documents table carries no url column, and synthesizing
+    it identically on both engines keeps the whole result value-hash
+    comparable.
+
+    Output: (host, n_docs, mean_size, https_share, max_depth,
+    p50_ub, p95_ub, p99_ub)."""
+    from . import histsketch
+
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc"), F.col("doc_id").cast("string"),
+    )
+    parts = url_parts(docs.withColumn("url", url))
+    roll = domain_rollup(parts)
+    hist = histsketch.log2_histogram(parts, "host", "n_chars")
+    qs = histsketch.hist_quantiles(hist)
+    pivot = qs.groupBy(F.col("grp").alias("host")).agg(
+        *[
+            F.max(F.when(F.col("q") == q, F.col("value_ub"))).alias(f"p{q}_ub")
+            for q in (50, 95, 99)
+        ]
+    )
+    return roll.join(pivot, "host")
+
+
+def webtext_analytics_sql(table: str = "documents") -> str:
+    from .histsketch import hist_quantiles_sql, log2_histogram_sql
+
+    url = (
+        "'https://' || source || '.example.com/' || lang || '/doc' ||"
+        " cast(doc_id as varchar)"
+    )
+    parts = url_parts_sql(f"(SELECT *, {url} AS url FROM {table})")
+    hist = log2_histogram_sql("parts", "host", "n_chars")
+    quant = hist_quantiles_sql(hist)
+    roll = domain_rollup_sql("SELECT * FROM parts")
+    return f"""
+    WITH parts AS ({parts}),
+    roll AS ({roll}),
+    q AS ({quant}),
+    pivotq AS (
+      SELECT grp AS host,
+             max(CASE WHEN q = 50 THEN value_ub END) AS p50_ub,
+             max(CASE WHEN q = 95 THEN value_ub END) AS p95_ub,
+             max(CASE WHEN q = 99 THEN value_ub END) AS p99_ub
+      FROM q GROUP BY grp
+    )
+    SELECT r.host, r.n_docs, r.mean_size, r.https_share, r.max_depth,
+           p.p50_ub, p.p95_ub, p.p99_ub
+    FROM roll r JOIN pivotq p ON r.host = p.host
+    """
+
+
 def domain_rollup_sql(parts_sql: str, size_col: str = "n_chars") -> str:
     return f"""
     SELECT host,
