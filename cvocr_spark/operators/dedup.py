@@ -451,9 +451,17 @@ def _connected_components_rounds(
     spam mirror-chain of depth 1000 would cost 1000 full-edge shuffles
     at crawl scale; with the shortcut, rounds = O(log component_size)
     (measured: 7 rounds for a depth-32 chain, 15 for a 2699-node
-    near-path component), bounded by ``max_iter``.  Lineage is
-    truncated every round (lazy localCheckpoint: the convergence agg is
-    the action that materializes it — one Spark job per round), and
+    near-path component), bounded by ``max_iter``.
+
+    r6 plan shape: the edge table carries SELF-LOOPS and is persisted
+    repartitioned+sorted by ``dst`` (the propagate join key), so each
+    round is exactly TWO joins (shortcut self-join + propagate) and one
+    partial-aggregable min — the former separate nbr_min/least() merge
+    join is gone and the cached edge side satisfies the join's
+    partitioning and ordering without a per-round exchange or sort.
+    Rounds execute in PAIRS per driver action (see the in-loop
+    comment).  Lineage is truncated every round (lazy localCheckpoint:
+    the convergence agg is the action that materializes it), and
     every ``_STATS_CLAMP_EVERY`` rounds the label frame round-trips
     through parquet instead, which resets Catalyst's inherited
     size estimates (see the in-loop comment) and doubles as a durable
@@ -474,24 +482,38 @@ def _connected_components_rounds(
     """
     own_dir = checkpoint_dir is None
     clamp_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cvocr_cc_")
+    sc = pairs.sparkSession.sparkContext
+    n_part = sc.defaultParallelism
     # both edge directions from ONE scan of the (possibly expensive)
-    # upstream pair pipeline — a two-branch union would evaluate it twice
+    # upstream pair pipeline — a two-branch union would evaluate it twice.
+    # SELF-LOOPS are appended so the per-round propagation is ONE join +
+    # ONE aggregate: min over {self, neighbors} of the shortcut labels
+    # equals the old least(label, coalesce(nbr_min, label)) without the
+    # second (half ⋈ nbr_min) join per round.  The table is persisted
+    # REPARTITIONED AND SORTED BY dst — the propagate join's key — so
+    # the cached relation's partitioning/ordering satisfy the join
+    # requirements and the per-round plan re-shuffles and re-sorts only
+    # the (much narrower) label side, never the edge set (guide §2.4:
+    # establish the partitioning once, reuse it every round).
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    loops = both.select("src").distinct().withColumn("dst", F.col("src"))
     edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
+        both.distinct()
+        .unionByName(loops)
+        .repartition(n_part, "dst")
+        .sortWithinPartitions("dst")
         .persist()
     )
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("node"))
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
@@ -524,67 +546,95 @@ def _connected_components_rounds(
     # counts the int64 sum overflows and ANSI mode throws mid-iteration;
     # decimal(38,0) holds 10^12 nodes x 2^63 with room to spare.
     _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_label_sum).collect()[0][0]
-    for _ in range(rounds, max_iter):
-        rounds += 1
+
+    def _step(lbl: DataFrame) -> DataFrame:
         # shortcut FIRST against the (checkpointed) previous labels —
-        # both sides of the self-join read materialized data, so `half`
-        # re-appearing in two plan branches below costs only a cheap
-        # re-join of checkpointed frames, never a re-run of the pair
-        # pipeline.  Because propagation then takes the min of
-        # NEIGHBORS' shortcut labels (not raw labels), the contraction
-        # is strictly stronger than shortcut-after-propagate.
-        # (Chaining MORE shortcut hops per round was A/B'd and
-        # REJECTED: on the sf0.1 pair graph rounds stayed at 15 for 1,
-        # 2, and 3 hops — convergence here is propagation-bound, not
-        # pointer-chase-bound — while each extra hop squares the
-        # inherited-stats blow-up described at the clamp below.)
-        lut = labels.select(
+        # both sides of the self-join read materialized data.  Because
+        # propagation then takes the min of NEIGHBORS' shortcut labels
+        # (not raw labels), the contraction is strictly stronger than
+        # shortcut-after-propagate.  (Chaining MORE shortcut hops per
+        # round was A/B'd and REJECTED: on the sf0.1 pair graph rounds
+        # stayed at 15 for 1, 2, and 3 hops — convergence here is
+        # propagation-bound, not pointer-chase-bound — while each extra
+        # hop squares the inherited-stats blow-up described at the
+        # clamp below.)
+        lut = lbl.select(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")
         )
-        half = labels.join(lut, labels["label"] == lut["l_node"], "left").select(
+        half = lbl.join(lut, lbl["label"] == lut["l_node"], "left").select(
             "node", F.coalesce("l_label", "label").alias("label")
         )
-        nbr_min = (
+        # propagate WITH self-loops: min over {self, neighbors} of the
+        # shortcut labels — one join + one partial-aggregable groupBy
+        # per round (the former separate nbr_min join + least() merge
+        # join collapsed; self-loops guarantee every node survives)
+        return (
             edges.join(half, edges["dst"] == half["node"])
             .select(F.col("src").alias("node"), "label")
             .groupBy("node")
-            .agg(F.min("label").alias("nbr_min"))
+            .agg(F.min("label").alias("label"))
         )
-        labels = half.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-        )
-        if rounds % _STATS_CLAMP_EVERY == 0:
-            # STATS CLAMP — Dataset.localCheckpoint truncates the
-            # logical plan but INHERITS the pre-checkpoint plan's
-            # Catalyst statistics into the new LogicalRDD, and the
-            # size-only visitor estimates a join as the PRODUCT of its
-            # children's sizeInBytes: with labels referenced twice per
-            # round (shortcut self-join) the inherited estimate
-            # squares every round.  Measured: digit count of
-            # sizeInBytes doubles per round (2.8k digits by round 15),
-            # and every stats consumer (broadcast-size checks, runtime
-            # -filter injection) then multiplies those BigIntegers on
-            # the DRIVER — at 3 shortcut hops this froze the driver in
-            # Toom-Cook multiplication of ~10M-digit integers by round
-            # 11.  A parquet round-trip is the one public-API reset:
-            # the re-read scan carries real file-size stats.  Every
-            # 4th round bounds the estimate at ~100 digits for free
-            # (A/B: wall-neutral at sf0.1), and the written frame
-            # doubles as a durable resume point for the iteration —
-            # on a cluster, point checkpoint_dir at the shared FS.
-            path = f"{clamp_dir}/round_{rounds}"
-            labels.write.mode("overwrite").parquet(path)
-            labels = labels.sparkSession.read.parquet(path)
-        else:
-            # lazy checkpoint: the convergence agg below is the action
-            # that materializes it — one Spark job per round, not two
-            labels = labels.localCheckpoint(eager=False)
-        new_sum = labels.agg(_label_sum).collect()[0][0]
-        if new_sum == prev_sum:
+
+    def _clamp(lbl: DataFrame, r: int) -> DataFrame:
+        # STATS CLAMP — Dataset.localCheckpoint truncates the
+        # logical plan but INHERITS the pre-checkpoint plan's
+        # Catalyst statistics into the new LogicalRDD, and the
+        # size-only visitor estimates a join as the PRODUCT of its
+        # children's sizeInBytes: with labels referenced twice per
+        # round (shortcut self-join) the inherited estimate
+        # squares every round.  Measured: digit count of
+        # sizeInBytes doubles per round (2.8k digits by round 15),
+        # and every stats consumer (broadcast-size checks, runtime
+        # -filter injection) then multiplies those BigIntegers on
+        # the DRIVER — at 3 shortcut hops this froze the driver in
+        # Toom-Cook multiplication of ~10M-digit integers by round
+        # 11.  A parquet round-trip is the one public-API reset:
+        # the re-read scan carries real file-size stats.  Every
+        # 4th round bounds the estimate at ~100 digits for free
+        # (A/B: wall-neutral at sf0.1), and the written frame
+        # doubles as a durable resume point for the iteration —
+        # on a cluster, point checkpoint_dir at the shared FS.
+        path = f"{clamp_dir}/round_{r}"
+        lbl.write.mode("overwrite").parquet(path)
+        return lbl.sparkSession.read.parquet(path)
+
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
+    # TWO rounds per driver action (r6 optimization): at bench scale the
+    # per-round wall is dominated by fixed action overhead (planning +
+    # AQE stage scheduling of tiny shuffles), not aggregation work —
+    # pairing rounds and probing BOTH sums in one union-agg action
+    # halves that fixed cost, and at crawl scale costs at most one
+    # speculative round's work in the final pair (the old loop paid the
+    # same round as its explicit no-change confirmation).  Convergence
+    # semantics are unchanged: sums only decrease; s1 == prev means
+    # round r1 was the confirm round (return the r1 frame, drop r2's
+    # speculative work), s2 == s1 means r2 was.  The stats clamp is
+    # written only for a COMMITTED pair (after the convergence probe),
+    # so resume points never include a dropped speculative round.
+    while rounds < max_iter:
+        r1 = rounds + 1
+        la = _step(labels).localCheckpoint(eager=False)
+        if r1 >= max_iter:  # odd max_iter tail: single-round action
+            prev_sum = la.agg(_label_sum).collect()[0][0]
+            labels, rounds = la, r1
             break
-        prev_sum = new_sum
+        r2 = r1 + 1
+        lb = _step(la).localCheckpoint(eager=False)
+        sums = dict(
+            la.agg(_label_sum.alias("s")).select(F.lit(1).alias("k"), "s")
+            .unionByName(
+                lb.agg(_label_sum.alias("s")).select(F.lit(2).alias("k"), "s")
+            )
+            .collect()
+        )
+        if sums[1] == prev_sum:
+            labels, rounds = la, r1  # converged; r2's speculative work dropped
+            break
+        labels, rounds, prev_sum = lb, r2, sums[2]
+        if sums[2] == sums[1]:
+            break
+        if r2 % _STATS_CLAMP_EVERY == 0:
+            labels = _clamp(labels, r2)
     edges.unpersist()
     if own_dir:
         # the final frame may still scan the clamp files — materialize
@@ -936,7 +986,15 @@ def _incremental_decide(
     exact = nh.join(ex_hash, "h").select(
         "doc_id", F.lit("dup_exact").alias("status"), "matched_keeper"
     )
-    rest = nh.join(ex_hash, "h", "left_anti").select("doc_id", "text")
+    # rest feeds THREE consumers (band probe, verify-token corpus,
+    # new_keeper anti-join) — lazy localCheckpoint so the exact-phase
+    # anti-join over the batch runs once per action, not three times
+    # (r6; materialized by the caller's action, no extra job)
+    rest = (
+        nh.join(ex_hash, "h", "left_anti")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
     nb = _safe_banded(_banded(rest), max_bucket)
     cand = (
         nb.alias("n")

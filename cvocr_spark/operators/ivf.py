@@ -158,63 +158,97 @@ def assign_with_dists_numpy(emb: DataFrame, centroids: list[list[int]]) -> DataF
 def _train(emb: DataFrame, k: int, iters: int, dim: int = DIM) -> list[list[int]]:
     """Fixed-iteration Lloyd on the quantized vectors; returns the k
     trained centroids.  Every driver collect here is O(k) rows (seed
-    ids, k x dim centroid stats) — bounded like the LSH plane literals.
-    The exploded frame is persisted for the iteration loop and
-    UNPERSISTED before returning (ADVICE r2: the old form leaked a
-    cached frame per call)."""
-    ex = _quantized_exploded(emb, dim).persist()
-    try:
-        h = P.hash60_spark("cast(vec_id as string)", "ivf")
-        # seed from WELL-FORMED vectors only: a ragged/NULL embedding
-        # picked as a seed has no quantized rows, and the centroid
-        # build would KeyError (found by the r4 PQ degenerate sweep —
-        # the earlier ANN sweep got lucky with k=2 seed draws)
-        seed_ids = [
-            r["vec_id"]
-            for r in emb.filter(F.size("embedding") == dim)
-            .select("vec_id", F.expr(h).alias("h"))
-            .orderBy("h", "vec_id")
-            .limit(k)
-            .collect()
-        ]
-        seed_rows = ex.filter(F.col("vec_id").isin(seed_ids)).collect()
-        by_vec: dict[int, dict[int, int]] = {}
-        for r in seed_rows:
-            by_vec.setdefault(r["vec_id"], {})[r["d"]] = r["v"]
-        dim = max(max(d.keys()) for d in by_vec.values()) + 1
-        centroids = [
-            [by_vec[vid][d] for d in range(dim)] for vid in seed_ids
-        ]
-        for _ in range(iters):
-            cids = assign_with_dists(emb, centroids, dim).select("vec_id", "cid")
-            stats = (
-                ex.join(cids, "vec_id")
-                .groupBy("cid", "d")
-                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-                .collect()
+    rows, k x dim centroid stats) — bounded like the LSH plane literals.
+
+    r6: each Lloyd iteration is ONE Arrow stage (mapInPandas) emitting
+    exact int64 partial sums per (cid, d) — assignment via the expanded
+    ``|v|^2 - 2 v.c + |c|^2`` int64 matmul (the assign_with_dists_numpy
+    arithmetic, asserted row-identical to the flat-aggregate form in
+    tests/test_ann.py; np.argmin's first-minimum IS the smallest-cid
+    tie-break) and per-batch centroid sums via np.add.at/bincount.
+    Integer partials are order-independent, so the reduced (cid, d)
+    stats — and therefore the centroids — are bit-identical to the
+    former assign-join-groupBy plan (gated end-to-end by the
+    cross-engine ivf/pq oracles at sf0.01), at O(n*k*dim/batch)
+    vectorized cost, one job per iteration instead of two joins over
+    the exploded frame, and no persisted exploded intermediate."""
+    import numpy as np
+    import pandas as pd
+
+    # seed from WELL-FORMED vectors only: a ragged/NULL embedding
+    # picked as a seed has no quantized form, and the centroid build
+    # would KeyError (found by the r4 PQ degenerate sweep)
+    well = emb.filter(F.size("embedding") == dim)
+    vq = well.select("vec_id", F.expr(P.quantize_spark("embedding")).alias("q"))
+    h = P.hash60_spark("cast(vec_id as string)", "ivf")
+    seed_rows = (
+        well.select(
+            "vec_id",
+            F.expr(h).alias("h"),
+            F.expr(P.quantize_spark("embedding")).alias("q"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    # a corpus smaller than k yields fewer seeds — train with the
+    # effective k, exactly as before (the r4 tiny-shard rule)
+    centroids = [list(r["q"]) for r in seed_rows]
+    if not centroids:
+        return []
+    sc = emb.sparkSession.sparkContext
+    for _ in range(iters):
+        bc = sc.broadcast(np.array(centroids, dtype=np.int64))
+
+        def _stats(batches, _bc=bc):
+            cm = _bc.value  # (k_eff, dim)
+            cn = (cm * cm).sum(axis=1)
+            acc_s = np.zeros_like(cm)
+            acc_n = np.zeros(cm.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(list(pdf["q"]), dtype=np.int64)  # (n, dim)
+                ds = (v * v).sum(axis=1)[:, None] - 2 * (v @ cm.T) + cn[None, :]
+                cid = ds.argmin(axis=1)  # first min == smallest cid
+                np.add.at(acc_s, cid, v)
+                acc_n += np.bincount(cid, minlength=cm.shape[0])
+            nz = np.nonzero(acc_n)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(nz, cm.shape[1]).astype("int32"),
+                    "d": np.tile(
+                        np.arange(cm.shape[1], dtype="int32"), len(nz)
+                    ),
+                    "s": acc_s[nz].reshape(-1),
+                    "n": np.repeat(acc_n[nz], cm.shape[1]),
+                }
             )
-            by_cid: dict[int, dict[int, tuple[int, int]]] = {}
-            for r in stats:
-                by_cid.setdefault(r["cid"], {})[r["d"]] = (r["s"], r["n"])
-            new_centroids = []
-            # len(centroids), not k: a corpus smaller than k yields
-            # fewer seeds, and range(k) would index past the list (a
-            # tiny-shard crash found by the r4 PQ degenerate sweep)
-            for cid in range(len(centroids)):
-                if cid in by_cid:
-                    dims = by_cid[cid]
-                    new_centroids.append(
-                        [
-                            math.floor(dims[d][0] / dims[d][1] + 0.5)
-                            for d in range(len(centroids[cid]))
-                        ]
-                    )
-                else:  # empty cluster keeps its previous centroid
-                    new_centroids.append(centroids[cid])
-            centroids = new_centroids
-        return centroids
-    finally:
-        ex.unpersist()
+
+        stats = (
+            vq.mapInPandas(_stats, schema="cid int, d int, s long, n long")
+            .groupBy("cid", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        bc.unpersist()
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(r["cid"], {})[r["d"]] = (r["s"], r["n"])
+        new_centroids = []
+        for cid in range(len(centroids)):
+            if cid in by_cid:
+                dims = by_cid[cid]
+                new_centroids.append(
+                    [
+                        math.floor(dims[d][0] / dims[d][1] + 0.5)
+                        for d in range(len(centroids[cid]))
+                    ]
+                )
+            else:  # empty cluster keeps its previous centroid
+                new_centroids.append(centroids[cid])
+        centroids = new_centroids
+    return centroids
 
 
 def _probe_topk(

@@ -69,104 +69,122 @@ def train_codebooks_fused(emb: DataFrame) -> list[list[list[int]]]:
     """The PRODUCTION training form: all M codebooks in ONE Spark job
     per Lloyd step, instead of M sequential per-subspace jobs (the
     reference form above — its wall at sf0.1 was ~20 s of fixed local
-    job latency).  The exploded frame carries (vec_id, sub, dsub, v);
-    assignment groups by (vec_id, sub) with K flat SUM aggregates
-    whose centroid values come from ONE flat literal array indexed by
-    sub*K*SUBDIM + j*SUBDIM + dsub; per-(sub, cid, dsub) means update
-    all M books from one collect of M*K*SUBDIM bounded rows.
+    job latency).
 
-    Seeds are the same per-subspace rule (smallest md5 of vec_id —
-    identical id set for every subspace), so the result is asserted
-    LIST-IDENTICAL to train_codebooks in tests/test_pq.py."""
+    r6: the per-step assignment + stats pass runs as ONE Arrow stage
+    (mapInPandas) — per-subspace nearest codes via the expanded
+    ``|v|^2 - 2 v.c + |c|^2`` exact int64 einsum (the encode_numpy
+    arithmetic, asserted row-identical to the flat-aggregate encode in
+    tests/test_pq.py; np.argmin's first minimum IS the smallest-code
+    tie-break) and exact int64 partial sums per (sub, cid, dsub) via
+    np.add.at/bincount, reduced by one bounded groupBy collect
+    (M*K*SUBDIM rows).  Integer partials are order-independent, so the
+    books are bit-identical to the former K-flat-aggregate plan —
+    still asserted LIST-IDENTICAL to the per-subspace train_codebooks
+    in tests/test_pq.py, and hash-gated end-to-end by the pq_adc_topk
+    oracle.  Seeds are the same per-subspace rule (smallest md5 of
+    vec_id — identical id set for every subspace)."""
     import math
 
-    ex = (
-        ivf._quantized_exploded(emb)
-        .withColumn("sub", (F.col("d") / PQ_SUBDIM).cast("int"))
-        .withColumn("dsub", (F.col("d") % PQ_SUBDIM).cast("int"))
-        .persist()
+    import numpy as np
+    import pandas as pd
+
+    well = emb.filter(F.size("embedding") == ivf.DIM)
+    vq = well.select("vec_id", F.expr(P.quantize_spark("embedding")).alias("q"))
+    h = P.hash60_spark("cast(vec_id as string)", "ivf")
+    seed_rows = (
+        well.select(
+            "vec_id",
+            F.expr(h).alias("h"),
+            F.expr(P.quantize_spark("embedding")).alias("q"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .collect()
     )
-    try:
-        h = P.hash60_spark("cast(vec_id as string)", "ivf")
-        seed_ids = [
-            r["vec_id"]
-            for r in emb.filter(F.size("embedding") == ivf.DIM)
-            .select("vec_id", F.expr(h).alias("h"))
-            .orderBy("h", "vec_id")
-            .limit(PQ_K)
-            .collect()
+    # a corpus smaller than PQ_K (tiny shard, cold-start crawl) yields
+    # fewer seeds — train with the effective K, exactly as the
+    # per-subspace form does (limit(k) returns what exists)
+    k_eff = len(seed_rows)
+    books = [
+        [
+            list(r["q"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM])
+            for r in seed_rows
         ]
-        seed_rows = ex.filter(F.col("vec_id").isin(seed_ids)).collect()
-        by_vec: dict[tuple[int, int], dict[int, int]] = {}
-        for r in seed_rows:
-            by_vec.setdefault((r["vec_id"], r["sub"]), {})[r["dsub"]] = r["v"]
-        # a corpus smaller than PQ_K (tiny shard, cold-start crawl)
-        # yields fewer seeds — train with the effective K, exactly as
-        # the per-subspace form does (limit(k) returns what exists)
-        k_eff = len(seed_ids)
-        books = [
-            [
-                [by_vec[(sid, m)][d] for d in range(PQ_SUBDIM)]
-                for sid in seed_ids
-            ]
-            for m in range(PQ_M)
-        ]
-        for _ in range(PQ_ITERS):
-            flat = [
-                v for m in range(PQ_M) for j in range(k_eff) for v in books[m][j]
-            ]
-            lit = "array(" + ", ".join(f"{v}L" for v in flat) + ")"
-            idx_base = F.col("sub") * (k_eff * PQ_SUBDIM) + F.col("dsub") + 1
-            aggs = []
-            for j in range(k_eff):
-                diff = F.col("v") - F.element_at(
-                    F.expr(lit), idx_base + j * PQ_SUBDIM
-                )
-                aggs.append(F.sum(diff * diff).alias(f"ds{j}"))
-            dists = ex.groupBy("vec_id", "sub").agg(*aggs)
-            cids = dists.select(
-                "vec_id",
-                "sub",
-                F.expr(
-                    "cast(array_position("
-                    + "array("
-                    + ", ".join(f"ds{j}" for j in range(k_eff))
-                    + "), array_min(array("
-                    + ", ".join(f"ds{j}" for j in range(k_eff))
-                    + "))) - 1 as int)"
-                ).alias("cid"),
-            )
-            stats = (
-                ex.join(cids, ["vec_id", "sub"])
-                .groupBy("sub", "cid", "dsub")
-                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )
-            by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
-            for r in stats:
-                by_key.setdefault((r["sub"], r["cid"]), {})[r["dsub"]] = (
-                    r["s"],
-                    r["n"],
-                )
-            new_books = []
-            for m in range(PQ_M):
-                nb = []
-                for j in range(k_eff):
-                    dims = by_key.get((m, j))
-                    if dims:
-                        nb.append(
-                            [
-                                math.floor(dims[d][0] / dims[d][1] + 0.5)
-                                for d in range(PQ_SUBDIM)
-                            ]
-                        )
-                    else:  # empty cluster keeps its previous centroid
-                        nb.append(books[m][j])
-                new_books.append(nb)
-            books = new_books
+        for m in range(PQ_M)
+    ]
+    if k_eff == 0:
         return books
-    finally:
-        ex.unpersist()
+    sc = emb.sparkSession.sparkContext
+    for _ in range(PQ_ITERS):
+        bt = np.array(books, dtype=np.int64)  # (M, k_eff, SUBDIM)
+        nb = (bt * bt).sum(axis=2)  # (M, k_eff) exact
+        bc = sc.broadcast((bt, nb))
+
+        def _stats(batches, _bc=bc):
+            books_t, books_n = _bc.value
+            m_, k_, sub = books_t.shape
+            acc_s = np.zeros((m_, k_, sub), dtype=np.int64)
+            acc_n = np.zeros((m_, k_), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(list(pdf["q"]), dtype=np.int64).reshape(
+                    -1, m_, sub
+                )
+                nv = (v * v).sum(axis=2)  # (n, M)
+                ds = (
+                    nv[:, :, None]
+                    - 2 * np.einsum("nms,mks->nmk", v, books_t)
+                    + books_n[None, :, :]
+                )
+                cids = ds.argmin(axis=2)  # (n, M), first-min tie-break
+                for m in range(m_):
+                    np.add.at(acc_s[m], cids[:, m], v[:, m, :])
+                    acc_n[m] += np.bincount(cids[:, m], minlength=k_)
+            ms, ks = np.nonzero(acc_n)
+            yield pd.DataFrame(
+                {
+                    "sub": np.repeat(ms, sub).astype("int32"),
+                    "cid": np.repeat(ks, sub).astype("int32"),
+                    "dsub": np.tile(np.arange(sub, dtype="int32"), len(ms)),
+                    "s": acc_s[ms, ks].reshape(-1),
+                    "n": np.repeat(acc_n[ms, ks], sub),
+                }
+            )
+
+        stats = (
+            vq.mapInPandas(
+                _stats, schema="sub int, cid int, dsub int, s long, n long"
+            )
+            .groupBy("sub", "cid", "dsub")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        bc.unpersist()
+        by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_key.setdefault((r["sub"], r["cid"]), {})[r["dsub"]] = (
+                r["s"],
+                r["n"],
+            )
+        new_books = []
+        for m in range(PQ_M):
+            nb_ = []
+            for j in range(k_eff):
+                dims = by_key.get((m, j))
+                if dims:
+                    nb_.append(
+                        [
+                            math.floor(dims[d][0] / dims[d][1] + 0.5)
+                            for d in range(PQ_SUBDIM)
+                        ]
+                    )
+                else:  # empty cluster keeps its previous centroid
+                    nb_.append(books[m][j])
+            new_books.append(nb_)
+        books = new_books
+    return books
 
 
 def encode(emb: DataFrame, books: list[list[list[int]]]) -> DataFrame:
@@ -248,8 +266,12 @@ def _exact_rerank(
     shortlist is bounded (<= rerank * n_queries rows), so the exploded
     frame is O(shortlist * DIM)."""
     ex = ivf._quantized_exploded(emb)  # (vec_id, d, v)
-    n_ex = shortlist.join(
-        ex.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    # broadcast the (bounded, <= rerank * n_queries rows) shortlist so
+    # the exploded corpus side streams through a broadcast hash join —
+    # the unhinted form let the planner shuffle the O(corpus * DIM)
+    # exploded frame by neighbor_id just to meet a 500-row list
+    n_ex = ex.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(shortlist), "neighbor_id"
     )
     q_ex = ex.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "d", F.col("v").alias("qv")
@@ -316,7 +338,10 @@ def pq_adc_topk(
     candidate row meets only its own query's table."""
     spark = emb.sparkSession
     books = train_codebooks_fused(emb)
-    codes = encode(emb, books)
+    # encode_numpy: all M subspaces in ONE Arrow pass — row-identical
+    # codes to the M-chained-join flat form (tests/test_pq.py), which
+    # stays available as `encode` for the demo-width comparison
+    codes = encode_numpy(emb, books)
     lut = spark.createDataFrame(
         _adc_tables(emb, books, n_queries),
         "query_id bigint, sub int, code int, d bigint",
@@ -504,7 +529,7 @@ def build_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
     assigned = ivf.assign_with_dists(emb, centroids)
     codes = (
-        encode(emb, books)
+        encode_numpy(emb, books)
         .join(assigned, "vec_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")
     )
@@ -643,7 +668,7 @@ def ivfpq_topk(
         .select("query_id", "cid")
     )
     books = train_codebooks_fused(emb)
-    codes = encode(emb, books).join(assigned.select("vec_id", "cid"), "vec_id")
+    codes = encode_numpy(emb, books).join(assigned.select("vec_id", "cid"), "vec_id")
     lut = spark.createDataFrame(
         _adc_tables(emb, books, n_queries),
         "query_id bigint, sub int, code int, d bigint",

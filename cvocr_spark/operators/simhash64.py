@@ -25,7 +25,7 @@ standard crawl-dedup configuration (64-bit simhash, k≈128 minhash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
@@ -115,12 +115,20 @@ def simhash64_neardup_pairs(
     Pigeonhole-complete for max_hamming <= 3 with 4 chunks (minus any
     buckets the hot-chunk guard dropped)."""
     chunked = _chunked(simhash64_signatures(docs))
-    sizes = chunked.groupBy("chunk_id", "chunk_val").agg(
-        F.count("*").alias("bucket_n")
+    # hot-chunk guard as a WINDOW count (the dedup._safe_banded form,
+    # r6): the former groupBy+self-join guard re-evaluated the whole
+    # signature pipeline — explode words -> 2 md5/word -> 64 flat SUM
+    # votes — on BOTH plan branches; the window form computes it ONCE,
+    # and the single (chunk_id, chunk_val) exchange it introduces is
+    # exactly the partitioning the candidate self-join below reuses.
+    # Skew behavior is identical: either form hashes a monster chunk's
+    # rows to one task before dropping them.
+    w = F.count("*").over(Window.partitionBy("chunk_id", "chunk_val"))
+    safe = (
+        chunked.withColumn("bucket_n", w)
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
     )
-    safe = chunked.join(
-        sizes.filter(F.col("bucket_n") <= max_bucket), ["chunk_id", "chunk_val"]
-    ).drop("bucket_n")
     a, b = safe.alias("a"), safe.alias("b")
     ham = F.bit_count(
         F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
