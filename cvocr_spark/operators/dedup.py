@@ -834,6 +834,8 @@ def dedup_incremental_pairs(
     threshold: float = 0.8,
     max_bucket: int = MAX_BUCKET,
     wide: bool = False,
+    new_bands: DataFrame | None = None,
+    existing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """ALL verified cross-batch near-dup pairs (a = new doc, b =
     existing doc) — the PAIR-level output of dedup_incremental's
@@ -846,10 +848,30 @@ def dedup_incremental_pairs(
     dedup (soak_dedup.py incremental section).  Exact cross-batch
     copies surface here too: identical texts share every band and
     verify at J = 1.0.  ``wide=True`` probes at production banding
-    (k=128, 16x8) to match the soak's pipeline config."""
+    (k=128, 16x8) to match the soak's pipeline config.
+
+    ``existing_bands`` / ``new_bands`` (r6): RAW band frames
+    (doc_id, band_id, band_val — the ``_banded``/``_banded_wide``
+    output, UNguarded) substituted for the in-plan banding of that
+    side.  This is the stored-band-table serve path for a growing
+    corpus: the existing side's signature recompute — minhashing every
+    shingle of every doc ever ingested, the per-batch cost that grows
+    with corpus size — is replaced by a columnar scan of the stored
+    rows.  The hot-bucket guard still runs HERE, over the supplied
+    frame, because it must count buckets across the whole accumulated
+    side (guarding per batch at write time would miss buckets that are
+    hot only in aggregate) — so pairs are identical to the in-plan
+    form whenever the supplied bands equal that side's ``_banded``
+    output (banding is per-row, so a union of per-batch band frames IS
+    the banding of the union)."""
     band = _banded_wide if wide else _banded
-    eb = _safe_banded(band(existing), max_bucket)
-    nb = _safe_banded(band(new_docs), max_bucket)
+    eb = _safe_banded(
+        existing_bands if existing_bands is not None else band(existing),
+        max_bucket,
+    )
+    nb = _safe_banded(
+        new_bands if new_bands is not None else band(new_docs), max_bucket
+    )
     cand = (
         nb.alias("n")
         .join(
@@ -912,6 +934,34 @@ def build_dedup_index(
         "band_id"
     ).parquet(f"{path}/bands")
     fs.create(marker, True).close()
+
+
+def minhash_verified_dups_banded(
+    docs: DataFrame,
+    bands: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """``minhash_verified_dups`` over a PRECOMPUTED raw band frame
+    (the ``_banded(docs)`` rows, e.g. read back from a stored band
+    table): the signature pipeline is not re-derived; the hot-bucket
+    guard, candidate self-join and exact-Jaccard verify are the same
+    tail as the in-plan form, so pairs are identical whenever ``bands``
+    equals ``_banded(docs)`` (r6 — the streaming cluster maintenance
+    serve path)."""
+    safe = _safe_banded(bands, max_bucket)
+    a, b = safe.alias("a"), safe.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return verify_pairs_jaccard(cand, docs, threshold)
 
 
 def minhash_verified_dups_indexed(

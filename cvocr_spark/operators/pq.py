@@ -609,7 +609,14 @@ def ivfpq_search_index(
         .filter(F.col("rn") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    return _exact_rerank(lists.select("vec_id", "embedding"), shortlist, n_queries, k)
+    # rerank reads ONLY the probed list partitions: every shortlist
+    # neighbor came from a probed list, so the cid partition filter is
+    # a pure prune (r6) — without it the rerank's vector lookup scanned
+    # every code partition that the ADC stage had just pruned away
+    rerank_src = lists.filter(F.col("cid").isin(probed_cids)).select(
+        "vec_id", "embedding"
+    )
+    return _exact_rerank(rerank_src, shortlist, n_queries, k)
 
 
 def ivfpq_build_and_search(

@@ -17,6 +17,22 @@ from ..functions import portable as P
 _STOP_SPARK = "array(" + ", ".join(f"'{w}'" for w in P.STOPWORDS) + ")"
 _STOP_DUCK = "[" + ", ".join(f"'{w}'" for w in P.STOPWORDS) + "]"
 
+# stopword-token count as ONE codegen regexp_count instead of the
+# interpreted filter(split(...), w -> array_contains(...)) HOF it
+# replaces (r6; the expression class this repo bans from per-row hot
+# paths).  A token of split(text, ' ') equals a stopword iff the word
+# appears bounded by start-of-input/space on the left and
+# space/end-of-input on the right; the right bound is a LOOKAHEAD so
+# adjacent stopwords ('the the') each match, and it uses \z (not $ —
+# Java's $ also matches before a final newline, which would count a
+# trailing 'the\n' token that split() keeps as 'the\n' != 'the').
+# NULL text -> NULL, same as size(filter(split(NULL))) under ANSI.
+_STOP_RE = "(^| )(" + "|".join(P.STOPWORDS) + ")(?=( |\\z))"
+
+
+def _n_stop(col: str = "text"):
+    return F.regexp_count(F.col(col), F.lit(_STOP_RE))
+
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens, distinct types, mean token
@@ -49,7 +65,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     shape-quality predicate, cut.h:324-356)."""
     words = F.split("text", " ")
     n_tokens = F.size(words).cast("double")
-    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> array_contains({_STOP_SPARK}, w))"))
+    n_stop = _n_stop()
     stop_ratio = n_stop / n_tokens
     type_ratio = F.size(F.array_distinct(words)) / n_tokens
     len_score = F.least(F.lit(1.0), n_tokens / 100.0)
@@ -94,7 +110,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     features through a deterministic rule cascade (C1-shaped)."""
     words = F.split("text", " ")
     n_tokens = F.size(words).cast("double")
-    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> array_contains({_STOP_SPARK}, w))"))
+    n_stop = _n_stop()
     stop_ratio = n_stop / n_tokens
     mean_wlen = (F.length("text") - n_tokens + 1) / n_tokens
     vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))

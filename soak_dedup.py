@@ -82,6 +82,7 @@ def incremental_section(spark, corpus, n_docs: int, oneshot_verified=None) -> di
     labels_path = None
     existing = None
     all_pairs_paths = []
+    band_paths = []
     batch_walls = []
     t_all = time.perf_counter()
     for b in range(N_BATCHES):
@@ -91,10 +92,17 @@ def incremental_section(spark, corpus, n_docs: int, oneshot_verified=None) -> di
             & (F.col("doc_id") < hi * FAMILY)
         ).persist()
         t0 = time.perf_counter()
-        intra = dedup.verify_pairs_jaccard(
-            dedup.minhash_lsh_pairs_wide(batch, max_bucket=MAX_BUCKET),
-            batch,
-            threshold=THRESHOLD,
+        # r6 (VERDICT r5 next #1, batch face): band the batch ONCE into
+        # a durable per-batch band table and probe STORED bands for the
+        # cross-batch stage — per-batch signature cost is O(batch), so
+        # the per-batch walls below stay flat as the corpus grows
+        # (previously dedup_incremental_pairs re-minhashed the whole
+        # accumulated corpus every batch: wall grew linearly in b).
+        band_path = f"{workdir}/bands_{b}"
+        dedup._banded_wide(batch).write.mode("overwrite").parquet(band_path)
+        nb_raw = spark.read.parquet(band_path)
+        intra = dedup.minhash_verified_dups_banded(
+            batch, nb_raw, threshold=THRESHOLD, max_bucket=MAX_BUCKET
         ).select("a", "b")
         if existing is None:
             new_pairs = intra
@@ -102,8 +110,11 @@ def incremental_section(spark, corpus, n_docs: int, oneshot_verified=None) -> di
             cross = dedup.dedup_incremental_pairs(
                 batch, existing, threshold=THRESHOLD,
                 max_bucket=MAX_BUCKET, wide=True,
+                new_bands=nb_raw,
+                existing_bands=spark.read.parquet(*band_paths),
             )
             new_pairs = intra.unionByName(cross)
+        band_paths.append(band_path)
         pairs_path = f"{workdir}/pairs_{b}"
         new_pairs.write.mode("overwrite").parquet(pairs_path)
         all_pairs_paths.append(pairs_path)

@@ -448,3 +448,97 @@ def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
         for r in current_clusters(spark, state).collect()
     }
     assert again == got
+
+
+def test_cluster_maintenance_probe_skips_signature_recompute(spark, tmp_path):
+    """r6 (VERDICT r5 next #1 'done' pin): the cross-batch pair stage
+    served from the stored band table must not re-derive ANY minhash
+    signature — the md5-per-shingle pipeline may appear only in the
+    band WRITE for the new batch, never in the probe plan.  The former
+    in-plan form is the contrast: banding the existing side put md5
+    back into every batch's plan."""
+    import pyspark.sql.functions as F
+
+    from cvocr_spark.operators import dedup as dd
+    from cvocr_spark.streaming import cluster_batch_writer
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "metric spaces admit open covers whose nerve complexes")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog today indeed")],
+        "doc_id bigint, text string",
+    )
+    writer = cluster_batch_writer(spark, state)
+    writer(b0, 0)
+    writer(b1, 1)
+
+    # rebuild batch 1's cross-pair frame exactly as the writer does
+    all_bands = spark.read.parquet(f"{state}/bands")
+    nb = all_bands.filter(F.col("batch_id") == 1).select(
+        "doc_id", "band_id", "band_val"
+    )
+    sb = all_bands.filter(F.col("batch_id") < 1).select(
+        "doc_id", "band_id", "band_val"
+    )
+    existing = (
+        spark.read.parquet(f"{state}/corpus")
+        .filter(F.col("batch_id") < 1)
+        .select("doc_id", "text")
+    )
+    served = dd.dedup_incremental_pairs(
+        b1, existing, new_bands=nb, existing_bands=sb
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "md5(" not in plan, plan[:3000]
+    # contrast: the in-plan form re-bands (and so re-hashes) per batch
+    inplan = dd.dedup_incremental_pairs(b1, existing)
+    assert "md5(" in inplan._jdf.queryExecution().executedPlan().toString()
+    # and the served pairs are identical to the in-plan pairs
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+
+
+def test_cluster_maintenance_gen_retention(spark, tmp_path):
+    """r6 (VERDICT r5 next #2): keep_gens bounds label-generation state
+    — older committed gen_* dirs are deleted after each new commit,
+    current_clusters still serves the newest generation, and a replay
+    of the retained window stays value-idempotent."""
+    import os as _os
+
+    from cvocr_spark.streaming import cluster_batch_writer, current_clusters
+    from cvocr_spark.streaming.cluster_stream import _complete_label_gens
+
+    state = str(tmp_path / "state")
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    batches = [
+        [(1, f"{base} alpha one"), (2, f"{base} alpha two")],
+        [(3, f"{base} alpha three")],
+        [(4, f"{base} alpha one")],
+    ]
+    writer = cluster_batch_writer(spark, state, keep_gens=1)
+    for i, rows in enumerate(batches):
+        writer(
+            spark.createDataFrame(rows, "doc_id bigint, text string"), i
+        )
+    assert _complete_label_gens(f"{state}/labels") == [2]
+    assert not _os.path.exists(f"{state}/labels/gen_0")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in current_clusters(spark, state).collect()
+    }
+    assert got[1] == (1, True) and got[4] == (1, False)
+    # replay of the newest (retained) generation: torn commit, redeliver
+    _os.remove(f"{state}/labels/gen_2/_SUCCESS")
+    writer(
+        spark.createDataFrame(batches[2], "doc_id bigint, text string"), 2
+    )
+    again = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in current_clusters(spark, state).collect()
+    }
+    assert again == got
