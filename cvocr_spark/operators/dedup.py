@@ -343,7 +343,14 @@ def verify_pairs_jaccard(
     """Exact token-set Jaccard over a CANDIDATE pair list: join each
     (a, b) to its two distinct-token arrays and score with array
     intersection — cost linear in |pairs|, never a token self-join.
-    This is the LSH->verify stage of a production dedup pipeline."""
+    This is the LSH->verify stage of a production dedup pipeline.
+    (A candidate-id semi-join prefilter on the token sides — guide
+    §3.2 — was A/B'd in r6 and REJECTED at both scales: at sf0.1 the
+    extra distinct/semi joins cost ~1 s against a tiny corpus, and at
+    the 200k soak the candidate set is corpus-sized, so the prefilter
+    added shuffles and a pipeline-breaking checkpoint for nothing —
+    incremental section 185 s -> 260 s with one-shot sections
+    identical across the two runs.  Numbers in OPTIMIZATION_r06.md.)"""
     toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
@@ -482,8 +489,6 @@ def _connected_components_rounds(
     """
     own_dir = checkpoint_dir is None
     clamp_dir = checkpoint_dir or tempfile.mkdtemp(prefix="cvocr_cc_")
-    sc = pairs.sparkSession.sparkContext
-    n_part = sc.defaultParallelism
     # both edge directions from ONE scan of the (possibly expensive)
     # upstream pair pipeline — a two-branch union would evaluate it twice.
     # SELF-LOOPS are appended so the per-round propagation is ONE join +
@@ -495,18 +500,33 @@ def _connected_components_rounds(
     # requirements and the per-round plan re-shuffles and re-sorts only
     # the (much narrower) label side, never the edge set (guide §2.4:
     # establish the partitioning once, reuse it every round).
-    both = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    both = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        # lazy checkpoint: the self-loop branch below references this
+        # frame a second time, and without the checkpoint each branch
+        # would re-run the (possibly expensive) upstream pair pipeline
+        .localCheckpoint(eager=False)
+    )
     loops = both.select("src").distinct().withColumn("dst", F.col("src"))
+    # SCALE-ADAPTIVE partitioning (guide §2.2): size the persisted edge
+    # table from the edge count (~2M directed edges ≈ 50 MB per
+    # partition), not from the core count — a bench-scale graph then
+    # iterates in single-task rounds (A/B: ~10% off the warm wall,
+    # more cold) while a crawl-scale graph gets as many partitions as
+    # its bytes demand.  The count also materializes the checkpointed
+    # edge set once, before the loop.
+    n_part = max(1, -(-both.count() // 2_000_000))
     edges = (
-        both.distinct()
-        .unionByName(loops)
+        both.unionByName(loops)
         .repartition(n_part, "dst")
         .sortWithinPartitions("dst")
         .persist()

@@ -266,12 +266,15 @@ def _exact_rerank(
     shortlist is bounded (<= rerank * n_queries rows), so the exploded
     frame is O(shortlist * DIM)."""
     ex = ivf._quantized_exploded(emb)  # (vec_id, d, v)
-    # broadcast the (bounded, <= rerank * n_queries rows) shortlist so
-    # the exploded corpus side streams through a broadcast hash join —
-    # the unhinted form let the planner shuffle the O(corpus * DIM)
-    # exploded frame by neighbor_id just to meet a 500-row list
-    n_ex = ex.withColumnRenamed("vec_id", "neighbor_id").join(
-        F.broadcast(shortlist), "neighbor_id"
+    # the shortlist is bounded (<= rerank * n_queries rows); AQE's
+    # runtime size check converts this join to a broadcast of the
+    # shortlist side, so the exploded corpus never shuffles.  An
+    # explicit F.broadcast hint was A/B'd in r6 and REJECTED: same
+    # final join strategy, but the hint's eager broadcast-build stage
+    # cost a consistent ~0.2 s per call at sf0.1 over letting AQE
+    # convert (4-way A/B in OPTIMIZATION_r06.md).
+    n_ex = shortlist.join(
+        ex.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     )
     q_ex = ex.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "d", F.col("v").alias("qv")
