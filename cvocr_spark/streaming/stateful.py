@@ -41,13 +41,14 @@ def _make_dedup_group(ttl_ms: int | None):
         n_before = len(seen)
         out = []
         for pdf in pdfs:
-            keep_rows = []
-            for i, u in enumerate(pdf["url"]):
-                if u not in seen:
-                    seen.add(u)
-                    keep_rows.append(i)
-            if keep_rows:
-                out.append(pdf.iloc[keep_rows][["url", "warc_ts", "html"]])
+            # vectorized first-occurrence filter (guide §4.2): keep the
+            # first row per url within the chunk, drop urls already in
+            # state — same semantics as the former per-row Python loop
+            # (which added to `seen` as it scanned), at pandas speed
+            keep = pdf[~pdf.duplicated("url") & ~pdf["url"].isin(seen)]
+            if len(keep):
+                seen.update(keep["url"])
+                out.append(keep[["url", "warc_ts", "html"]])
         if len(seen) > n_before:  # rewrite state only when it actually grew
             state.update((sorted(seen),))
         if ttl_ms is not None:
