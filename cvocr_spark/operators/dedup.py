@@ -870,6 +870,17 @@ def dedup_incremental_pairs(
     verify at J = 1.0.  ``wide=True`` probes at production banding
     (k=128, 16x8) to match the soak's pipeline config.
 
+    CONTRACT: doc_ids must be globally unique across ``new_docs`` and
+    ``existing`` (ADVICE r5) — the verify corpus is their plain union,
+    so a doc_id re-delivered in a later batch would duplicate corpus
+    rows and fan out the Jaccard join.  Both shipped callers satisfy
+    it structurally: the streaming writer's exactly-once file source
+    never re-delivers committed ids into `existing` (a replayed batch
+    rewrites its own partition), and the soak slices disjoint variant
+    ranges.  A dropDuplicates here would put an unconditional shuffle
+    on every batch to defend against a caller bug — documented
+    instead.
+
     ``existing_bands`` / ``new_bands`` (r6): RAW band frames
     (doc_id, band_id, band_val — the ``_banded``/``_banded_wide``
     output, UNguarded) substituted for the in-plan banding of that
@@ -918,6 +929,46 @@ def dedup_index_ready(spark, path: str) -> bool:
     return bool(fs.exists(marker))
 
 
+def corpus_fingerprint(docs: DataFrame) -> str:
+    """Order-insensitive content fingerprint of a (doc_id, text) frame:
+    row count + bit-XOR of a per-row 64-bit hash.  Index metadata only
+    (never crosses the oracle boundary), so the JVM-native xxhash64 is
+    fine.  Used to detect that a stored dedup index was built over a
+    DIFFERENT corpus than the one now being served (ADVICE r5: the
+    _BUILT marker alone let a changed corpus silently serve stale
+    bands)."""
+    r = (
+        docs.select(F.xxhash64(F.col("doc_id"), F.col("text")).alias("h"))
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .collect()[0]
+    )
+    return f"{r['n']}:{r['x']}"
+
+
+def _fingerprint_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_FINGERPRINT")
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def dedup_index_fingerprint(spark, path: str) -> str | None:
+    """The fingerprint recorded at build time, or None (pre-r6 index
+    or torn build) — None never matches, forcing a rebuild."""
+    fs, p = _fingerprint_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        b = stream.read()
+        while b != -1:
+            out.append(b)
+            b = stream.read()
+        return out.decode("utf-8").strip()
+    finally:
+        stream.close()
+
+
 def build_dedup_index(
     existing: DataFrame, path: str, max_bucket: int = MAX_BUCKET
 ) -> None:
@@ -941,7 +992,11 @@ def build_dedup_index(
     Terminal ``_BUILT`` marker (r5): cleared first, written only after
     BOTH artifacts land — the ivf.py torn-build rule, so
     ``dedup_index_ready`` can gate build-once/serve-many callers
-    (curate_corpus's dedup_index_path switch)."""
+    (curate_corpus's dedup_index_path switch).  A ``_FINGERPRINT`` of
+    the source corpus (count + xor-hash, ``corpus_fingerprint``) lands
+    just before the marker (r6, ADVICE r5): serve-many callers compare
+    it against the corpus they are about to serve and rebuild on
+    mismatch instead of silently probing stale bands."""
     from .ivf import _built_marker
 
     spark = existing.sparkSession
@@ -953,6 +1008,10 @@ def build_dedup_index(
     _safe_banded(_banded(existing), max_bucket).write.mode("overwrite").partitionBy(
         "band_id"
     ).parquet(f"{path}/bands")
+    ffs, fp_path = _fingerprint_path(spark, path)
+    out = ffs.create(fp_path, True)
+    out.write(bytearray(corpus_fingerprint(existing).encode("utf-8")))
+    out.close()
     fs.create(marker, True).close()
 
 

@@ -114,7 +114,18 @@ def curate_corpus(
         survivors = survivors.persist()
     if dedup_index_path is not None:
         spark = docs.sparkSession
-        if not _dd.dedup_index_ready(spark, dedup_index_path):
+        # stale-index guard (r6, ADVICE r5): the _BUILT marker alone
+        # let a re-run with the same path but a CHANGED corpus (or
+        # changed quality gates -> different survivors) silently serve
+        # stale bands and emit a wrong manifest.  The index records a
+        # fingerprint of the corpus it was built over; a mismatch
+        # rebuilds.  Cost: one count+xor aggregate over survivors per
+        # serve call — a scan the gates pipeline performs anyway.
+        fp = _dd.corpus_fingerprint(survivors)
+        if (
+            not _dd.dedup_index_ready(spark, dedup_index_path)
+            or _dd.dedup_index_fingerprint(spark, dedup_index_path) != fp
+        ):
             _dd.build_dedup_index(survivors, dedup_index_path)
         pairs = _dd.minhash_verified_dups_indexed(
             survivors, dedup_index_path, threshold=threshold

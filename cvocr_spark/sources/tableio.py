@@ -237,8 +237,17 @@ def write_bucketed_table(
     loc_uri = None
     try:
         if spark.catalog.tableExists(table):
+            # only match 'Location' AFTER the '# Detailed Table
+            # Information' separator: a DATA COLUMN literally named
+            # 'Location' appears earlier in the DESCRIBE output, and
+            # its data_type (e.g. 'string') would be used as the
+            # stale-location path and recursively deleted (ADVICE r5)
+            in_detail = False
             for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-                if r["col_name"] == "Location":
+                if str(r["col_name"]).startswith("# Detailed Table"):
+                    in_detail = True
+                    continue
+                if in_detail and r["col_name"] == "Location":
                     loc_uri = r["data_type"]
                     break
     except Exception:

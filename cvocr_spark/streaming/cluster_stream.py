@@ -45,24 +45,33 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 
 
-def _complete_label_gens(labels_dir: str) -> list[int]:
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _complete_label_gens(spark: SparkSession, labels_dir: str) -> list[int]:
     """Batch ids with a complete label generation (_SUCCESS present).
-    Non-numeric ``gen_*`` suffixes (a stray gen_*.tmp left by tooling)
-    are SKIPPED, not raised on — one junk directory must not take down
-    every subsequent batch (ADVICE r5)."""
-    try:
-        names = os.listdir(labels_dir)
-    except OSError:
+    Listed through the Hadoop FS API (ADVICE r5: a driver-local
+    os.listdir against an hdfs://-style state_dir silently returned []
+    and every batch would have reclustered from only its own pairs,
+    discarding prior generations).  Non-numeric ``gen_*`` suffixes (a
+    stray gen_*.tmp left by tooling) are SKIPPED, not raised on — one
+    junk directory must not take down every subsequent batch."""
+    fs, p, jvm = _hadoop_fs(spark, labels_dir)
+    if not fs.exists(p):
         return []
     out = []
-    for n in names:
+    for st in fs.listStatus(p):
+        n = st.getPath().getName()
         if not n.startswith("gen_"):
             continue
         try:
             g = int(n.split("_", 1)[1])
         except ValueError:
             continue
-        if os.path.exists(os.path.join(labels_dir, n, "_SUCCESS")):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{labels_dir}/gen_{g}/_SUCCESS")):
             out.append(g)
     return sorted(out)
 
@@ -109,7 +118,7 @@ def cluster_batch_writer(
     bands_dir = os.path.join(state_dir, "bands")
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        gens = _complete_label_gens(labels_dir)
+        gens = _complete_label_gens(spark, labels_dir)
         if batch_id in gens:
             return  # fully committed: replayed microbatch is a no-op
         batch = df.select("doc_id", "text").persist()
@@ -171,13 +180,16 @@ def cluster_batch_writer(
                 os.path.join(labels_dir, f"gen_{batch_id}")
             )
             if keep_gens is not None:
-                import shutil
-
-                done = _complete_label_gens(labels_dir)
+                # delete through the Hadoop FS too — retention must
+                # work on whatever filesystem the state lives on
+                fs, _p, jvm = _hadoop_fs(spark, labels_dir)
+                done = _complete_label_gens(spark, labels_dir)
                 for g in done[:-keep_gens]:
-                    shutil.rmtree(
-                        os.path.join(labels_dir, f"gen_{g}"),
-                        ignore_errors=True,
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{labels_dir}/gen_{g}"
+                        ),
+                        True,
                     )
         finally:
             batch.unpersist()
@@ -191,7 +203,7 @@ def current_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     generation, so a torn later batch (corpus partition written,
     labels commit missing) is invisible until its replay commits."""
     labels_dir = os.path.join(state_dir, "labels")
-    gens = _complete_label_gens(labels_dir)
+    gens = _complete_label_gens(spark, labels_dir)
     if not gens:
         raise FileNotFoundError(f"no committed label generation under {state_dir}")
     gmax = gens[-1]

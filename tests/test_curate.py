@@ -179,6 +179,25 @@ def test_curate_indexed_path_identical_manifest(spark, tmp_path):
     release(m3)
     assert sorted(map(key, rows3)) == sorted(map(key, rows))
 
+    # STALE-CORPUS guard (r6, ADVICE r5): same path, CHANGED corpus —
+    # the stored fingerprint mismatches, the index rebuilds, and the
+    # manifest equals the from-scratch manifest of the NEW corpus
+    # (before the guard, stale bands were served silently: the new
+    # doc had no band rows, so its dups went undetected)
+    extra = spark.createDataFrame(
+        [(777, docs.filter("doc_id = 1").collect()[0]["text"])],
+        "doc_id bigint, text string",
+    )
+    docs2 = docs.unionByName(extra)
+    m4 = curate_corpus(docs2, ev, dedup_index_path=idx)
+    rows4 = m4.collect()
+    release(m4)
+    m5 = curate_corpus(docs2, ev)  # in-plan ground truth, new corpus
+    rows5 = m5.collect()
+    release(m5)
+    assert sorted(map(key, rows4)) == sorted(map(key, rows5))
+    assert any(r["doc_id"] == 777 for r in rows4)
+
 
 def test_curation_manifest_oracle_nasty_corpus(spark):
     """The composite oracle on the ADVERSARIAL corpus: NULL/empty/

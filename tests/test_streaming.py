@@ -436,7 +436,7 @@ def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
     # torn-commit replay: the engine re-delivers a batch whose labels
     # commit vanished; recomputing from the previous generation must
     # reach the same clustering (value-idempotent at-least-once)
-    gens = _complete_label_gens(f"{state}/labels")
+    gens = _complete_label_gens(spark, f"{state}/labels")
     last = gens[-1]
     os.remove(f"{state}/labels/gen_{last}/_SUCCESS")
     writer(
@@ -525,7 +525,7 @@ def test_cluster_maintenance_gen_retention(spark, tmp_path):
         writer(
             spark.createDataFrame(rows, "doc_id bigint, text string"), i
         )
-    assert _complete_label_gens(f"{state}/labels") == [2]
+    assert _complete_label_gens(spark, f"{state}/labels") == [2]
     assert not _os.path.exists(f"{state}/labels/gen_0")
     got = {
         r["doc_id"]: (r["cluster_id"], r["is_keeper"])
