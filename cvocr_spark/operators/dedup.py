@@ -518,13 +518,22 @@ def _connected_components_rounds(
     )
     loops = both.select("src").distinct().withColumn("dst", F.col("src"))
     # SCALE-ADAPTIVE partitioning (guide §2.2): size the persisted edge
-    # table from the edge count (~2M directed edges ≈ 50 MB per
-    # partition), not from the core count — a bench-scale graph then
-    # iterates in single-task rounds (A/B: ~10% off the warm wall,
-    # more cold) while a crawl-scale graph gets as many partitions as
-    # its bytes demand.  The count also materializes the checkpointed
-    # edge set once, before the loop.
-    n_part = max(1, -(-both.count() // 2_000_000))
+    # table from the edge count, not from the core count.  A small
+    # graph (fixed-overhead regime — per-round wall is action latency,
+    # not compute) iterates in single-task rounds (A/B: ~10% off the
+    # warm wall, more cold); past the small-graph threshold the width
+    # floors at the cluster parallelism and grows with the data
+    # (~2M directed edges per partition), so a crawl-scale graph uses
+    # every core AND gets as many partitions as its bytes demand.  The
+    # count also materializes the checkpointed edge set once, before
+    # the loop.
+    m = both.count()
+    sc = pairs.sparkSession.sparkContext
+    n_part = (
+        1
+        if m <= 500_000
+        else max(sc.defaultParallelism, -(-m // 2_000_000))
+    )
     edges = (
         both.unionByName(loops)
         .repartition(n_part, "dst")
