@@ -61,7 +61,6 @@ def _session():
 
 def _extra_queries(spark):
     """The bench lines that are not contract slots (bench.py tail)."""
-    from cvocr_spark.operators import dedup as dedup_ops
     from cvocr_spark.operators.similarity import cosine_topk as _ct
 
     out = {}
